@@ -1,0 +1,165 @@
+"""Typed configuration for the LSeg-TPU model family.
+
+One parameterized family unifies the reference's duplicated `lseg_net.py` /
+`lseg_net_zs.py` variants (reference: modules/models/lseg_net.py:104-226,
+modules/models/lseg_net_zs.py:106-362). The backbone registry mirrors the
+reference's name → (hooks, reassemble channels, text width) mapping
+(reference: modules/models/lseg_net.py:119-123, lseg_blocks.py:24-55,
+lseg_net_zs.py:121-129,157-162).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Dense ViT image-encoder configuration (timm-style ViT surgery).
+
+    The encoder taps the outputs of 4 transformer blocks (`hooks`) and
+    reassembles them into a multi-resolution CNN pyramid
+    (reference: modules/models/lseg_vit.py:408-535).
+    """
+
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    hooks: Tuple[int, int, int, int] = (5, 11, 17, 23)
+    # Channel widths of the 4 reassembled feature maps (post 1x1 conv).
+    post_channels: Tuple[int, int, int, int] = (256, 512, 1024, 1024)
+    # Spatial resampling factor of each reassembled map relative to the
+    # patch-token grid: >1 = transposed-conv upsample, 1 = identity,
+    # <1 = strided 3x3 conv (reference: lseg_vit.py:446-523).
+    resample: Tuple[float, float, float, float] = (4.0, 2.0, 1.0, 0.5)
+    readout: str = "project"  # 'ignore' | 'add' | 'project'
+    # Native pretraining grid (384/patch); pos-embed is bilinearly resized
+    # from this grid to the runtime grid (reference: lseg_vit.py:149-163).
+    pretrain_grid: int = 24
+
+
+@dataclasses.dataclass(frozen=True)
+class ResNetConfig:
+    """ResNet backbone configuration for the RN101 variant
+    (reference: modules/models/lseg_vit_zs.py:742-761)."""
+
+    layers: Tuple[int, int, int, int] = (3, 4, 23, 3)
+    stage_channels: Tuple[int, int, int, int] = (256, 512, 1024, 2048)
+
+
+@dataclasses.dataclass(frozen=True)
+class CLIPTextConfig:
+    """CLIP text-tower configuration (OpenAI CLIP text transformer)."""
+
+    vocab_size: int = 49408
+    context_length: int = 77
+    width: int = 512
+    layers: int = 12
+    heads: int = 8
+    embed_dim: int = 512  # output projection dim
+
+
+# Text towers used by the reference's backbone registry.
+CLIP_TEXT_VITB32 = CLIPTextConfig()  # clip.load("ViT-B/32") text tower
+CLIP_TEXT_RN50X16 = CLIPTextConfig(width=768, heads=12, embed_dim=768)
+CLIP_TEXT_RN50X4 = CLIPTextConfig(width=640, heads=10, embed_dim=640)
+
+
+@dataclasses.dataclass(frozen=True)
+class LSegConfig:
+    """Full LSeg model configuration.
+
+    `arch_option`/`block_depth`/`activation` select the optional spatial
+    regularization blocks (reference: modules/models/lseg_net.py:148-156);
+    `use_bn` enables BatchNorm inside fusion blocks (always True via
+    LSegNet, reference: lseg_net.py:213).
+    """
+
+    backbone: str = "clip_vitl16_384"
+    features: int = 256
+    out_c: int = 512  # pixel/text embedding dim
+    arch_option: int = 0  # 0=none, 1=bottleneck_block, 2=depthwise_block
+    block_depth: int = 0
+    activation: str = "lrelu"  # 'relu' | 'lrelu' | 'tanh'
+    use_bn: bool = True
+    readout: str = "project"
+    # logit temperature: exp(log(1/0.07)); a *constant* in the reference
+    # (non-leaf `nn.Parameter(...).exp()`, lseg_net.py:141)
+    logit_scale: float = 1.0 / 0.07
+    vit: Optional[ViTConfig] = None
+    resnet: Optional[ResNetConfig] = None
+    text: CLIPTextConfig = CLIP_TEXT_VITB32
+
+    @property
+    def is_vit(self) -> bool:
+        return self.vit is not None
+
+
+def _vitl16(**kw) -> LSegConfig:
+    return LSegConfig(
+        vit=ViTConfig(),
+        **kw,
+    )
+
+
+def _vitb32(**kw) -> LSegConfig:
+    return LSegConfig(
+        vit=ViTConfig(
+            patch_size=32,
+            embed_dim=768,
+            depth=12,
+            num_heads=12,
+            hooks=(2, 5, 8, 11),
+            post_channels=(96, 192, 384, 768),
+            resample=(8.0, 4.0, 2.0, 1.0),
+            pretrain_grid=12,
+        ),
+        **kw,
+    )
+
+
+# Backbone registry; names match the reference CLI flags exactly
+# (reference: lseg_blocks.py:24-55, lseg_net_zs.py:121-129).
+BACKBONES = {
+    "clip_vitl16_384": _vitl16(backbone="clip_vitl16_384"),
+    "clipRN50x16_vitl16_384": _vitl16(
+        backbone="clipRN50x16_vitl16_384", out_c=768, text=CLIP_TEXT_RN50X16
+    ),
+    "clipRN50x4_vitl16_384": _vitl16(
+        backbone="clipRN50x4_vitl16_384", out_c=640, text=CLIP_TEXT_RN50X4
+    ),
+    "clip_vitb32_384": _vitb32(backbone="clip_vitb32_384"),
+    "clipRN50x16_vitb32_384": _vitb32(
+        backbone="clipRN50x16_vitb32_384", out_c=768, text=CLIP_TEXT_RN50X16
+    ),
+    "clipRN50x4_vitb32_384": _vitb32(
+        backbone="clipRN50x4_vitb32_384", out_c=640, text=CLIP_TEXT_RN50X4
+    ),
+    "clip_resnet101": LSegConfig(
+        backbone="clip_resnet101", resnet=ResNetConfig()
+    ),
+}
+
+
+def get_config(
+    backbone: str,
+    features: int = 256,
+    arch_option: int = 0,
+    block_depth: int = 0,
+    activation: str = "lrelu",
+    use_bn: bool = True,
+) -> LSegConfig:
+    """Look up a backbone config and apply the model-specific knobs the
+    reference exposes on the CLI (reference: lseg_module.py:112-183)."""
+    base = BACKBONES[backbone]
+    return dataclasses.replace(
+        base,
+        features=features,
+        arch_option=arch_option,
+        block_depth=block_depth,
+        activation=activation,
+        use_bn=use_bn,
+    )

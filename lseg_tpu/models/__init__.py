@@ -1,0 +1,3 @@
+from lseg_tpu.models.lseg import LSegNet  # noqa: F401
+from lseg_tpu.models.vit import DenseViT  # noqa: F401
+from lseg_tpu.models.clip_text import CLIPTextEncoder  # noqa: F401

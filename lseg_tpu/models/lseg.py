@@ -1,0 +1,134 @@
+"""The LSeg model family — one parameterized flax module.
+
+Unifies the reference's `LSegNet` / `LSegNetZS` / `LSegRNNetZS`
+(reference: modules/models/lseg_net.py:104-226,
+modules/models/lseg_net_zs.py:106-362) into a single network whose forward
+takes **precomputed text features** instead of tokenizing inside the
+forward pass — the key TPU design decision: label-set swaps never retrace
+or re-encode (text features are cached per label set by
+`lseg_tpu.text.cache`).
+
+Forward (reference call stack SURVEY.md §3.5):
+    taps   = DenseViT(x)                      # 4 tapped token sequences
+    layers = Reassemble_i(taps_i)             # multi-res pyramid
+    rn     = Scratch(layers)                  # common width
+    path   = fusion4..fusion1 cascade          # H/32 -> H/2
+    img    = head1(path1)                      # (N, H/2, W/2, out_c)
+    out    = correlate(img, text)              # (N, H/2, W/2, K)
+    out    = [head_block x block_depth]        # optional smoothing
+    out    = x2 bilinear (align_corners=True)  # (N, H, W, K)
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from lseg_tpu.config import LSegConfig
+from lseg_tpu.models.blocks import (
+    BottleneckHeadBlock,
+    DepthwiseHeadBlock,
+    FeatureFusionBlock,
+    Reassemble,
+    Scratch,
+)
+from lseg_tpu.models.resnet import ResNetBackbone
+from lseg_tpu.models.vit import DenseViT
+from lseg_tpu.ops.correlation import correlate
+from lseg_tpu.ops.resize import upsample2x
+
+
+class LSegNet(nn.Module):
+    """Language-driven segmentation network (image tower + decoder + head).
+
+    __call__(x, text_features, train=False) -> (N, H, W, K) fp32 logits.
+
+    `text_features` is (K, out_c) from `CLIPTextEncoder` — computed once
+    per label set outside jit and passed in, so arbitrary open-vocabulary
+    label lists swap in without retracing (BASELINE.json north star).
+    Pass `text_features=None` to get the raw (N, H/2, W/2, out_c) pixel
+    embeddings instead (serving path caches these when sweeping many label
+    sets over one image).
+    """
+
+    cfg: LSegConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+    emulate_fp16: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,  # (N, H, W, 3), normalized
+        text_features: Optional[jnp.ndarray] = None,  # (K, out_c)
+        train: bool = False,
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+
+        if cfg.is_vit:
+            taps, grid = DenseViT(
+                cfg.vit, dtype=self.dtype, remat=self.remat, name="vit"
+            )(x)
+            layers = [
+                Reassemble(
+                    out_channels=cfg.vit.post_channels[i],
+                    resample=cfg.vit.resample[i],
+                    vit_dim=cfg.vit.embed_dim,
+                    readout=cfg.readout,
+                    dtype=self.dtype,
+                    name=f"reassemble{i + 1}",
+                )(taps[i], grid)
+                for i in range(4)
+            ]
+        else:
+            layers = ResNetBackbone(
+                cfg.resnet, dtype=self.dtype, name="resnet"
+            )(x, train)
+
+        rn = Scratch(cfg.features, dtype=self.dtype, name="scratch")(layers)
+
+        path4 = FeatureFusionBlock(
+            cfg.features, cfg.use_bn, self.dtype, name="refinenet4"
+        )(rn[3], None, train)
+        path3 = FeatureFusionBlock(
+            cfg.features, cfg.use_bn, self.dtype, name="refinenet3"
+        )(path4, rn[2], train)
+        path2 = FeatureFusionBlock(
+            cfg.features, cfg.use_bn, self.dtype, name="refinenet2"
+        )(path3, rn[1], train)
+        path1 = FeatureFusionBlock(
+            cfg.features, cfg.use_bn, self.dtype, name="refinenet1"
+        )(path2, rn[0], train)
+
+        image_features = nn.Conv(
+            cfg.out_c, (1, 1), dtype=self.dtype, name="head1"
+        )(path1)
+
+        if text_features is None:
+            return image_features
+
+        out = correlate(
+            image_features,
+            text_features,
+            logit_scale=cfg.logit_scale,
+            emulate_fp16=self.emulate_fp16,
+        )
+
+        if cfg.arch_option in (1, 2):
+            block_cls = (
+                BottleneckHeadBlock if cfg.arch_option == 1
+                else DepthwiseHeadBlock
+            )
+            head_block = block_cls(
+                activation=cfg.activation, dtype=jnp.float32,
+                name="head_block",
+            )
+            for _ in range(cfg.block_depth - 1):
+                out = head_block(out, act=True)
+            out = head_block(out, act=False)
+
+        # Output head: ×2 bilinear to full crop resolution
+        # (reference: lseg_net.py:219-221,203).
+        return upsample2x(out.astype(jnp.float32), align_corners=True)

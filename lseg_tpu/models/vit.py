@@ -1,0 +1,202 @@
+"""Dense ViT image encoder with explicit multi-level taps.
+
+TPU-first redesign of the reference's "ViT surgery" (reference:
+modules/models/lseg_vit.py:104-201,408-535). Differences by design:
+
+- No forward hooks / global `activations` dict — the encoder *returns* the
+  4 tap activations from segmented `nn.scan` loops (pure function).
+- No monkey-patched `forward_flex` — the position-embedding grid resize is
+  a normal function of the static input shape; one jit cache entry per
+  crop shape (reference: lseg_vit.py:149-201).
+- Blocks between consecutive taps are stacked and scanned (`lax.scan` with
+  stacked params): compile time stays flat in depth and each block can be
+  rematerialized for memory.
+- NHWC layout, bf16-friendly compute with fp32 softmax/LayerNorm.
+
+Trailing blocks after the last tap and the final LayerNorm are dead compute
+in the reference (only the hooked activations are consumed,
+lseg_vit.py:104-146) and are therefore not instantiated at all.
+"""
+
+from __future__ import annotations
+
+from typing import Any, List, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from lseg_tpu.config import ViTConfig
+from lseg_tpu.ops.resize import resize_bilinear
+
+
+class Attention(nn.Module):
+    """Standard ViT multi-head self-attention (timm Block.attn semantics:
+    fused qkv projection with bias, scale = head_dim**-0.5)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, t, d = x.shape
+        h = self.num_heads
+        hd = d // h
+        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = qkv.reshape(n, t, 3, h, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        scale = hd ** -0.5
+        attn = jnp.einsum(
+            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
+        ) * scale
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        out = jnp.einsum(
+            "nhqk,nkhd->nqhd", attn, v, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        out = out.reshape(n, t, d)
+        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+
+
+class Mlp(nn.Module):
+    """timm ViT MLP: fc1 -> exact GELU -> fc2."""
+
+    dim: int
+    hidden: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = jax.nn.gelu(x, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+
+
+class Block(nn.Module):
+    """Pre-norm transformer block (timm ViT): x += attn(ln1(x));
+    x += mlp(ln2(x)). LayerNorm eps=1e-6 per timm ViT defaults."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, _=None):
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
+        x = x + Attention(self.dim, self.num_heads, self.dtype, name="attn")(y)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
+        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
+                    name="mlp")(y)
+        return x, None
+
+
+class BlockStack(nn.Module):
+    """`n` transformer blocks with stacked params, run under lax.scan.
+
+    Stacking keeps compile time flat in depth; `remat` trades FLOPs for
+    HBM by rematerializing each block's activations in the backward pass.
+    """
+
+    n: int
+    dim: int
+    num_heads: int
+    mlp_ratio: float
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = nn.remat(Block) if self.remat else Block
+        scan = nn.scan(
+            block_cls,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            length=self.n,
+            metadata_params={nn.meta.PARTITION_NAME: None},
+        )
+        x, _ = scan(
+            dim=self.dim,
+            num_heads=self.num_heads,
+            mlp_ratio=self.mlp_ratio,
+            dtype=self.dtype,
+            name="blocks",
+        )(x, None)
+        return x
+
+
+class DenseViT(nn.Module):
+    """ViT encoder returning the token sequences at the 4 hook depths.
+
+    Input:  x (N, H, W, 3), H and W multiples of `patch_size`.
+    Output: list of 4 arrays (N, 1 + gh*gw, D) — block outputs at
+    cfg.hooks (reference hook indices: lseg_net.py:119-123), cls token
+    first, plus the (gh, gw) grid shape.
+    """
+
+    cfg: ViTConfig
+    dtype: Any = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(
+        self, x: jnp.ndarray
+    ) -> Tuple[List[jnp.ndarray], Tuple[int, int]]:
+        cfg = self.cfg
+        n, h, w, _ = x.shape
+        p = cfg.patch_size
+        assert h % p == 0 and w % p == 0, (h, w, p)
+        gh, gw = h // p, w // p
+        d = cfg.embed_dim
+
+        # Patch embedding: p×p stride-p conv == per-patch linear; XLA lowers
+        # this to one big MXU matmul.
+        x = nn.Conv(
+            d, (p, p), strides=(p, p), padding="VALID",
+            dtype=self.dtype, name="patch_embed",
+        )(x)
+        x = x.reshape(n, gh * gw, d)
+
+        cls = self.param(
+            "cls_token", nn.initializers.zeros, (1, 1, d), jnp.float32
+        )
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(self.dtype), (n, 1, d)), x], axis=1
+        )
+
+        # Position embedding, bilinearly resized from the pretraining grid
+        # to (gh, gw). torch default align_corners=False semantics
+        # (reference: lseg_vit.py:158).
+        g0 = cfg.pretrain_grid
+        pos = self.param(
+            "pos_embed",
+            nn.initializers.normal(0.02),
+            (1, 1 + g0 * g0, d),
+            jnp.float32,
+        )
+        pos_tok, pos_grid = pos[:, :1], pos[:, 1:]
+        if (gh, gw) != (g0, g0):
+            pos_grid = pos_grid.reshape(1, g0, g0, d)
+            pos_grid = resize_bilinear(pos_grid, gh, gw, align_corners=False)
+            pos_grid = pos_grid.reshape(1, gh * gw, d)
+        pos = jnp.concatenate([pos_tok, pos_grid], axis=1)
+        x = x + pos.astype(self.dtype)
+
+        # Segmented scan: blocks [0..h0], (h0..h1], (h2..h3] — each segment
+        # ends exactly at a hook, so the segment outputs ARE the taps.
+        taps: List[jnp.ndarray] = []
+        prev = -1
+        for i, hook in enumerate(cfg.hooks):
+            seg_len = hook - prev
+            x = BlockStack(
+                n=seg_len,
+                dim=d,
+                num_heads=cfg.num_heads,
+                mlp_ratio=cfg.mlp_ratio,
+                dtype=self.dtype,
+                remat=self.remat,
+                name=f"seg{i}",
+            )(x)
+            taps.append(x)
+            prev = hook
+        return taps, (gh, gw)

@@ -1,0 +1,46 @@
+"""Per-pixel image–text correlation head.
+
+The capability core of LSeg (reference: modules/models/lseg_net.py:185-196):
+L2-normalize per-pixel embeddings (N,H,W,C) and label embeddings (K,C),
+then temperature-scaled cosine similarity -> (N,H,W,K) logits.
+
+Two implementations:
+- `correlate` — plain XLA einsum (fusion-friendly; default).
+- a fused Pallas kernel in `lseg_tpu.ops.pallas_correlation` that folds
+  normalization + matmul + temperature into one VMEM-resident pass
+  (used on TPU for large HW×K).
+
+`emulate_fp16=True` reproduces the reference's quirk of casting to fp16
+before the matmul (`image_features.half() @ text_features.t()`,
+lseg_net.py:194 — CLIP text features are fp16 on GPU) for bit-parity
+golden tests. Production path keeps bf16/fp32.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+
+def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
+    """x / ||x||_2 along `axis` (torch `x / x.norm(dim=-1, keepdim=True)`)."""
+    norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
+                            keepdims=True))
+    return (x.astype(jnp.float32) / (norm + eps)).astype(x.dtype)
+
+
+def correlate(
+    image_features: jnp.ndarray,  # (N, H, W, C)
+    text_features: jnp.ndarray,   # (K, C)
+    logit_scale: float = 1.0 / 0.07,
+    emulate_fp16: bool = False,
+) -> jnp.ndarray:
+    """Temperature-scaled cosine similarity logits (N, H, W, K), fp32."""
+    img = l2_normalize(image_features.astype(jnp.float32))
+    txt = l2_normalize(text_features.astype(jnp.float32))
+    if emulate_fp16:
+        img = img.astype(jnp.float16)
+        txt = txt.astype(jnp.float16)
+    logits = jnp.einsum(
+        "nhwc,kc->nhwk", img, txt, preferred_element_type=jnp.float32
+    )
+    return logit_scale * logits.astype(jnp.float32)

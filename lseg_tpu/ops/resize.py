@@ -1,0 +1,91 @@
+"""Bilinear resize as separable interpolation matmuls (MXU-friendly).
+
+The reference mixes two bilinear semantics that must both be reproduced
+exactly (SURVEY.md §7 "hard parts"):
+
+- ``align_corners=True`` — fusion-block ×2 upsample and the output head
+  (reference: modules/models/lseg_blocks.py:352-354, lseg_net.py:219-221)
+  and the TTA evaluator's resize (additional_utils/encoding_models.py:18).
+- ``align_corners=False`` (PyTorch default, half-pixel centers) — the
+  position-embedding grid resize (reference: modules/models/lseg_vit.py:158).
+
+Rather than gather-based interpolation (poor TPU layout), we build the two
+1-D interpolation operators as dense matrices at trace time (shapes are
+static under jit) and apply them as matmuls over H then W:
+
+    out = A_h @ x @ A_w^T        (per batch/channel, via einsum)
+
+XLA maps these onto the MXU and fuses the pair; for typical feature-map
+sizes this beats gather by a wide margin on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=256)
+def _interp_matrix(in_size: int, out_size: int, align_corners: bool) -> np.ndarray:
+    """Dense (out_size, in_size) 1-D linear interpolation operator matching
+    torch.nn.functional.interpolate(mode='bilinear')."""
+    A = np.zeros((out_size, in_size), dtype=np.float32)
+    if in_size == 1:
+        A[:, 0] = 1.0
+        return A
+    if align_corners:
+        if out_size == 1:
+            # torch picks the first element for a size-1 output with
+            # align_corners=True (scale = 0)
+            A[0, 0] = 1.0
+            return A
+        src = np.arange(out_size, dtype=np.float64) * (in_size - 1) / (out_size - 1)
+    else:
+        src = (np.arange(out_size, dtype=np.float64) + 0.5) * in_size / out_size - 0.5
+        src = np.clip(src, 0.0, in_size - 1)
+    lo = np.floor(src).astype(np.int64)
+    lo = np.clip(lo, 0, in_size - 2)
+    frac = src - lo
+    A[np.arange(out_size), lo] = (1.0 - frac).astype(np.float32)
+    A[np.arange(out_size), lo + 1] = frac.astype(np.float32)
+    return A
+
+
+def resize_bilinear(
+    x: jnp.ndarray,
+    out_h: int,
+    out_w: int,
+    align_corners: bool = True,
+) -> jnp.ndarray:
+    """Bilinearly resize an NHWC (or HWC) tensor to (out_h, out_w).
+
+    Matches torch F.interpolate(mode='bilinear', align_corners=...) exactly
+    (fp32 reference semantics). Implemented as two matmuls.
+    """
+    squeeze = False
+    if x.ndim == 3:
+        x = x[None]
+        squeeze = True
+    n, h, w, c = x.shape
+    if (h, w) != (out_h, out_w):
+        dt = x.dtype
+        xf = x.astype(jnp.float32)
+        if h != out_h:
+            Ah = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+            xf = jnp.einsum("oh,nhwc->nowc", Ah, xf)
+        if w != out_w:
+            Aw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+            xf = jnp.einsum("ow,nhwc->nhoc", Aw, xf)
+        x = xf.astype(dt)
+    if squeeze:
+        x = x[0]
+    return x
+
+
+def upsample2x(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+    """×2 bilinear upsample of an NHWC tensor (the fusion-block / output-head
+    path, reference: lseg_blocks.py:352-354, lseg_net.py:219-221)."""
+    n, h, w, c = x.shape
+    return resize_bilinear(x, 2 * h, 2 * w, align_corners=align_corners)

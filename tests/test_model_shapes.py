@@ -1,0 +1,105 @@
+"""End-to-end shape tests for the LSeg model family on tiny configs."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from lseg_tpu.config import (
+    CLIPTextConfig,
+    LSegConfig,
+    ResNetConfig,
+    ViTConfig,
+)
+from lseg_tpu.models.lseg import LSegNet
+
+TINY_VIT = LSegConfig(
+    backbone="tiny_vit",
+    features=32,
+    out_c=64,
+    vit=ViTConfig(
+        patch_size=16,
+        embed_dim=64,
+        depth=8,
+        num_heads=2,
+        hooks=(1, 3, 5, 7),
+        post_channels=(16, 32, 64, 64),
+        resample=(4.0, 2.0, 1.0, 0.5),
+        pretrain_grid=4,
+    ),
+    text=CLIPTextConfig(vocab_size=64, width=32, layers=2, heads=2,
+                        embed_dim=64),
+)
+
+TINY_RN = LSegConfig(
+    backbone="tiny_rn",
+    features=32,
+    out_c=64,
+    resnet=ResNetConfig(layers=(1, 1, 1, 1)),
+    text=CLIPTextConfig(vocab_size=64, width=32, layers=2, heads=2,
+                        embed_dim=64),
+)
+
+
+@pytest.mark.parametrize("cfg", [TINY_VIT, TINY_RN], ids=["vit", "resnet"])
+def test_forward_shapes(cfg):
+    model = LSegNet(cfg)
+    x = jnp.zeros((2, 64, 64, 3))
+    txt = jnp.zeros((5, cfg.out_c))
+    variables = model.init(jax.random.PRNGKey(0), x, txt)
+    out = model.apply(variables, x, txt)
+    assert out.shape == (2, 64, 64, 5)
+    assert out.dtype == jnp.float32
+
+
+@pytest.mark.parametrize("cfg", [TINY_VIT], ids=["vit"])
+def test_variable_input_size(cfg):
+    """Any multiple-of-patch input size works (pos-embed grid resize,
+    reference forward_flex behavior lseg_vit.py:166-201)."""
+    model = LSegNet(cfg)
+    txt = jnp.zeros((3, cfg.out_c))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), txt
+    )
+    out = model.apply(variables, jnp.zeros((1, 96, 128, 3)), txt)
+    assert out.shape == (1, 96, 128, 3)
+
+
+def test_embedding_output():
+    model = LSegNet(TINY_VIT)
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x, jnp.zeros((2, 64)))
+    emb = model.apply(variables, x, None)
+    assert emb.shape == (1, 32, 32, 64)  # half-res, out_c channels
+
+
+def test_arch_option_head_blocks():
+    for arch in (1, 2):
+        cfg = dataclasses.replace(TINY_VIT, arch_option=arch, block_depth=2)
+        model = LSegNet(cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        txt = jnp.zeros((4, cfg.out_c))
+        variables = model.init(jax.random.PRNGKey(0), x, txt)
+        out = model.apply(variables, x, txt)
+        assert out.shape == (1, 64, 64, 4)
+
+
+def test_train_mode_batch_stats():
+    model = LSegNet(TINY_VIT)
+    x = jnp.ones((2, 64, 64, 3))
+    txt = jnp.ones((4, TINY_VIT.out_c))
+    variables = model.init(jax.random.PRNGKey(0), x, txt, train=True)
+    assert "batch_stats" in variables
+    out, mutated = model.apply(
+        variables, x, txt, train=True, mutable=["batch_stats"]
+    )
+    assert out.shape == (2, 64, 64, 4)
+    # running stats actually updated
+    leaves_before = jax.tree_util.tree_leaves(variables["batch_stats"])
+    leaves_after = jax.tree_util.tree_leaves(mutated["batch_stats"])
+    assert any(
+        not np.allclose(a, b)
+        for a, b in zip(leaves_before, leaves_after)
+    )

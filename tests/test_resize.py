@@ -1,0 +1,59 @@
+"""Bilinear resize parity vs the torch oracle (both align_corners modes)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from lseg_tpu.ops.resize import resize_bilinear, upsample2x
+
+
+def _torch_resize(x_nhwc, out_h, out_w, align_corners):
+    t = torch.from_numpy(np.transpose(x_nhwc, (0, 3, 1, 2)))
+    y = F.interpolate(
+        t, (out_h, out_w), mode="bilinear", align_corners=align_corners
+    )
+    return np.transpose(y.numpy(), (0, 2, 3, 1))
+
+
+@pytest.mark.parametrize("align_corners", [True, False])
+@pytest.mark.parametrize(
+    "in_hw,out_hw",
+    [
+        ((24, 24), (30, 30)),     # pos-embed grid resize (up)
+        ((24, 24), (15, 20)),     # pos-embed grid resize (down, non-square)
+        ((16, 16), (32, 32)),     # fusion x2 upsample
+        ((240, 240), (480, 480)),  # output head x2
+        ((13, 17), (29, 31)),     # odd sizes
+        ((8, 8), (8, 8)),         # identity
+        ((5, 5), (1, 1)),         # degenerate output
+        ((1, 7), (4, 14)),        # degenerate input
+    ],
+)
+def test_resize_matches_torch(align_corners, in_hw, out_hw):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    got = np.asarray(
+        resize_bilinear(jnp.asarray(x), *out_hw, align_corners=align_corners)
+    )
+    want = _torch_resize(x, *out_hw, align_corners)
+    # torch lerps as x0 + f*(x1-x0); the matmul form is w0*x0 + w1*x1 —
+    # same math, different fp rounding. Bound the absolute error only.
+    np.testing.assert_allclose(got, want, rtol=0, atol=5e-4)
+
+
+def test_upsample2x():
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((1, 12, 10, 4), dtype=np.float32)
+    got = np.asarray(upsample2x(jnp.asarray(x)))
+    want = _torch_resize(x, 24, 20, True)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_hwc_input():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((6, 6, 3), dtype=np.float32)
+    got = np.asarray(resize_bilinear(jnp.asarray(x), 12, 12))
+    want = _torch_resize(x[None], 12, 12, True)[0]
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)

@@ -1,0 +1,7 @@
+from lseg_tpu.parallel.mesh import (  # noqa: F401
+    batch_sharding,
+    create_mesh,
+    param_shardings,
+    replicated,
+    shard_state,
+)

@@ -1,0 +1,46 @@
+"""Label-file parsers — the reference's `label_files/` formats.
+
+Two formats (reference: modules/lseg_module.py:97-109,
+modules/lseg_module_zs.py:57-68):
+
+- `<dataset>_objectInfo150.txt` (ADE20K): CSV with header
+  'Idx,Ratio,Train,Val,Stuff,Name'; the label is the LAST comma field's
+  FIRST semicolon alternative ('building;edifice' -> 'building'); the
+  header row is dropped for ade20k.
+- `fewshot_<dataset>.txt` (pascal/coco/fss): one stripped label per line.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+
+def parse_object_info(path: str, drop_header: bool = True) -> List[str]:
+    labels = []
+    with open(path) as f:
+        for line in f:
+            label = line.strip().split(",")[-1].split(";")[0]
+            labels.append(label)
+    return labels[1:] if drop_header else labels
+
+
+def parse_label_list(path: str) -> List[str]:
+    with open(path) as f:
+        return [line.strip() for line in f if line.strip()]
+
+
+def get_labels(dataset: str, label_dir: str = "label_files") -> List[str]:
+    """Reference-compatible dispatch: 'ade20k' -> objectInfo150 CSV,
+    'pascal'/'coco'/'fss' -> fewshot lists."""
+    if dataset == "ade20k":
+        return parse_object_info(
+            os.path.join(label_dir, "ade20k_objectInfo150.txt"),
+            drop_header=True,
+        )
+    path = os.path.join(label_dir, f"fewshot_{dataset}.txt")
+    if os.path.exists(path):
+        return parse_label_list(path)
+    raise FileNotFoundError(
+        f"no label file for dataset {dataset!r} in {label_dir!r}"
+    )

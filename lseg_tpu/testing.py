@@ -14,8 +14,10 @@ from lseg_tpu.config import (
     ViTConfig,
 )
 
+# vocab covers ClipBPETokenizer.for_tests() ids (512 byte symbols +
+# merges + specials ≈ 525).
 TINY_TEXT = CLIPTextConfig(
-    vocab_size=64, context_length=16, width=32, layers=2, heads=2,
+    vocab_size=1024, context_length=16, width=32, layers=2, heads=2,
     embed_dim=64,
 )
 

@@ -1,0 +1,2 @@
+from lseg_tpu.engine.tta import MultiScaleEvaluator, TTAProtocol  # noqa: F401
+from lseg_tpu.engine.eval_single import SingleScaleEvaluator  # noqa: F401

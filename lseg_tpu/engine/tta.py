@@ -1,0 +1,355 @@
+"""Multi-scale sliding-window + horizontal-flip TTA evaluator.
+
+Reference protocol being reproduced exactly (reference:
+additional_utils/encoding_models.py:54-155, additional_utils/models.py:
+23-132; scales & crop from test_lseg.py:308-316):
+
+    for scale in scales:
+        long = ceil(base_size * scale); aspect-preserving resize
+        (bilinear align_corners=True)
+        pad to crop with value -mean/std (normalized zero)
+        if bigger than crop: sliding 480-windows, stride 320, last
+        window snapped to the border
+        per window: logits(crop) + hflip(logits(hflip(crop))),
+        accumulated into a canvas with per-pixel counts
+        canvas /= counts; resize back to (H, W); sum over scales
+
+TPU-first redesign (SURVEY.md §7): instead of Python loops + one thread
+per GPU (reference models.py:183-248), the host *plans* the static
+(scale, window) grid once per image size, and the device runs TWO jit
+programs with fully static shapes:
+
+- program A (ONE compile entry for the whole protocol): `lax.scan` over
+  a fixed MAX_CROPS slot array; each step slices a 480-crop out of the
+  stacked padded scale pyramid, runs the model on (crop, flipped-crop)
+  as a batch of 2, and scatter-adds the combined logits into per-scale
+  canvases (static sizes derived from the protocol, not the image).
+  Invalid padding slots are skipped with `lax.cond` (scan is sequential,
+  so the skip is real).
+- program B (one compile entry per output-size *bucket*): canvases are
+  count-normalized and mapped back to the original resolution by
+  per-scale interpolation matrices built on host (exact
+  align_corners=True semantics, zero-padded to the static canvas size),
+  summed over scales, argmax -> (H_b, W_b) int32 label map. Only this
+  small int map leaves the device.
+
+The input-image scale pyramid is resized on host with the same
+interpolation matrices (`lseg_tpu.ops.resize._interp_matrix`), so host
+and device bilinear semantics are bit-identical.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lseg_tpu.ops.resize import _interp_matrix
+
+
+# ---------------------------------------------------------------------------
+# Protocol + host-side planning
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TTAProtocol:
+    """The eval protocol constants (reference: test_lseg.py:308-316,
+    lseg_module.py:29-38). `citys` preset uses base 2048 / crop 768 /
+    scales 0.75..2.25 (test_lseg.py:308-312)."""
+
+    base_size: int = 520
+    crop_size: int = 480
+    scales: Tuple[float, ...] = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
+    flip: bool = True
+    # normalized pad value per channel = (0 - mean) / std
+    pad_value: Tuple[float, float, float] = (-1.0, -1.0, -1.0)
+
+    @property
+    def stride(self) -> int:
+        # int(crop * 1/3 * 2), reference encoding_models.py:63
+        return int(self.crop_size * 2.0 / 3.0)
+
+    @functools.cached_property
+    def canvas_sizes(self) -> Tuple[int, ...]:
+        """Static per-scale canvas side = max(crop, ceil(base*scale))."""
+        return tuple(
+            max(self.crop_size, int(math.ceil(self.base_size * s)))
+            for s in self.scales
+        )
+
+    @functools.cached_property
+    def max_crops(self) -> int:
+        """Worst-case total window count across scales (square image at
+        the long-side bound)."""
+        total = 0
+        for c in self.canvas_sizes:
+            n = self._n_windows(c)
+            total += n * n
+        return total
+
+    def _n_windows(self, d: int) -> int:
+        d = max(d, self.crop_size)
+        return int(math.ceil((d - self.crop_size) / self.stride)) + 1
+
+    def window_positions(self, d: int) -> List[int]:
+        """Window origins along a dim of (padded) size d: stride grid
+        with the last window snapped to the border
+        (reference encoding_models.py:103-125)."""
+        d = max(d, self.crop_size)
+        return [
+            min(i * self.stride, d - self.crop_size)
+            for i in range(self._n_windows(d))
+        ]
+
+    def scaled_size(self, h: int, w: int, scale: float) -> Tuple[int, int]:
+        """Aspect-preserving resize target: long side = ceil(base*scale)
+        (reference encoding_models.py:66-76)."""
+        long_size = int(math.ceil(self.base_size * scale))
+        if h > w:
+            height = long_size
+            width = int(1.0 * w * long_size / h + 0.5)
+        else:
+            width = long_size
+            height = int(1.0 * h * long_size / w + 0.5)
+        return height, width
+
+
+@dataclasses.dataclass
+class TTAPlan:
+    """Host-computed static plan for one input size (H, W)."""
+
+    h: int
+    w: int
+    sizes: List[Tuple[int, int]]          # per-scale (h_s, w_s)
+    crops: np.ndarray                      # (MAX_CROPS, 4) s,y0,x0,valid
+    n_valid: int
+
+
+def make_plan(proto: TTAProtocol, h: int, w: int) -> TTAPlan:
+    crops = []
+    sizes = []
+    for si, scale in enumerate(proto.scales):
+        hs, ws = proto.scaled_size(h, w, scale)
+        sizes.append((hs, ws))
+        for y0 in proto.window_positions(hs):
+            for x0 in proto.window_positions(ws):
+                crops.append((si, y0, x0, 1))
+    n_valid = len(crops)
+    assert n_valid <= proto.max_crops, (n_valid, proto.max_crops)
+    while len(crops) < proto.max_crops:
+        crops.append((0, 0, 0, 0))
+    return TTAPlan(
+        h=h, w=w, sizes=sizes,
+        crops=np.asarray(crops, dtype=np.int32), n_valid=n_valid,
+    )
+
+
+def _resize_np(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """Exact align_corners=True bilinear resize on host (same operator
+    matrices as the device path)."""
+    h, w, _ = img.shape
+    out = img.astype(np.float32)
+    if h != oh:
+        out = np.einsum("oh,hwc->owc", _interp_matrix(h, oh, True), out)
+    if w != ow:
+        out = np.einsum("ow,hwc->hoc", _interp_matrix(w, ow, True), out)
+    return out
+
+
+def build_pyramid(
+    proto: TTAProtocol, image: np.ndarray, plan: TTAPlan
+) -> List[np.ndarray]:
+    """Resize the normalized (H, W, 3) image to each scale and embed it
+    in the static (P_s, P_s, 3) canvas-padded buffer (pad = normalized
+    zero, reference pad_image encoding_models.py:144-155)."""
+    pyr = []
+    pad = np.asarray(proto.pad_value, dtype=np.float32)
+    for (hs, ws), P in zip(plan.sizes, proto.canvas_sizes):
+        buf = np.broadcast_to(pad, (P, P, 3)).copy()
+        buf[:hs, :ws] = _resize_np(image, hs, ws)
+        pyr.append(buf)
+    return pyr
+
+
+# ---------------------------------------------------------------------------
+# Device program A: crop scan -> per-scale canvases
+# ---------------------------------------------------------------------------
+
+def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int):
+    """Build the jit'd crop-scan program.
+    `apply_fn(images, text_features) -> logits` maps
+    (B, crop, crop, 3) -> (B, crop, crop, K); text_features is a traced
+    argument so label-set swaps (same K) reuse the compile."""
+    crop = proto.crop_size
+    n_scales = len(proto.scales)
+
+    def run(pyramid, crop_meta, text_features):
+        canvases = tuple(
+            jnp.zeros((P, P, num_classes), jnp.float32)
+            for P in proto.canvas_sizes
+        )
+        counts = tuple(
+            jnp.zeros((P, P, 1), jnp.float32)
+            for P in proto.canvas_sizes
+        )
+
+        def step(carry, meta):
+            canvases, counts = carry
+            s, y0, x0, valid = meta[0], meta[1], meta[2], meta[3]
+
+            def do(operands):
+                canvases, counts = operands
+
+                def grab(i):
+                    return lambda: jax.lax.dynamic_slice(
+                        pyramid[i], (y0, x0, 0), (crop, crop, 3)
+                    )
+
+                patch = jax.lax.switch(s, [grab(i) for i in range(n_scales)])
+                batch = jnp.stack([patch, patch[:, ::-1, :]], axis=0)
+                logits = apply_fn(batch, text_features).astype(jnp.float32)
+                combined = logits[0] + logits[1][:, ::-1, :]
+
+                def add(i):
+                    def f():
+                        c = jax.lax.dynamic_slice(
+                            canvases[i], (y0, x0, 0),
+                            (crop, crop, num_classes),
+                        )
+                        n = jax.lax.dynamic_slice(
+                            counts[i], (y0, x0, 0), (crop, crop, 1)
+                        )
+                        new_c = jax.lax.dynamic_update_slice(
+                            canvases[i], c + combined, (y0, x0, 0)
+                        )
+                        new_n = jax.lax.dynamic_update_slice(
+                            counts[i], n + 1.0, (y0, x0, 0)
+                        )
+                        return (
+                            tuple(
+                                new_c if j == i else canvases[j]
+                                for j in range(n_scales)
+                            ),
+                            tuple(
+                                new_n if j == i else counts[j]
+                                for j in range(n_scales)
+                            ),
+                        )
+                    return f
+
+                return jax.lax.switch(s, [add(i) for i in range(n_scales)])
+
+            canvases, counts = jax.lax.cond(
+                valid > 0, do, lambda op: op, (canvases, counts)
+            )
+            return (canvases, counts), None
+
+        (canvases, counts), _ = jax.lax.scan(
+            step, (canvases, counts), crop_meta
+        )
+        return tuple(
+            c / jnp.maximum(n, 1.0) for c, n in zip(canvases, counts)
+        )
+
+    return jax.jit(run)
+
+
+# ---------------------------------------------------------------------------
+# Device program B: canvases -> full-res argmax (per output bucket)
+# ---------------------------------------------------------------------------
+
+def _make_assemble(proto: TTAProtocol, num_classes: int, return_logits):
+
+    def run(canvases, mats_h, mats_w):
+        total = None
+        for c, Ah, Aw in zip(canvases, mats_h, mats_w):
+            r = jnp.einsum("oh,hwk->owk", Ah, c)
+            r = jnp.einsum("ow,hwk->hok", Aw, r)
+            total = r if total is None else total + r
+        if return_logits:
+            return total
+        return jnp.argmax(total, axis=-1).astype(jnp.int32)
+
+    return jax.jit(run)
+
+
+def _bucket(x: int, step: int = 64) -> int:
+    return int(math.ceil(x / step)) * step
+
+
+class MultiScaleEvaluator:
+    """Drop-in equivalent of the reference `LSeg_MultiEvalModule`
+    (additional_utils/models.py:23-132): __call__(image, text_features)
+    -> (H, W) int32 label map (or summed fp32 logits).
+
+    `apply_fn(images, text_features)`: batched crop forward at the
+    protocol's crop size. One instance caches plans per input size and
+    the assemble program per output bucket.
+    """
+
+    def __init__(
+        self,
+        apply_fn,
+        num_classes: int,
+        proto: TTAProtocol = TTAProtocol(),
+        bucket_step: int = 64,
+    ):
+        self.proto = proto
+        self.num_classes = num_classes
+        self.bucket_step = bucket_step
+        self._apply_fn = apply_fn
+        self._plans: Dict[Tuple[int, int], TTAPlan] = {}
+        self._accumulate = None
+        self._assemble_logits = _make_assemble(proto, num_classes, True)
+        self._assemble_argmax = _make_assemble(proto, num_classes, False)
+
+    def _plan(self, h: int, w: int) -> TTAPlan:
+        plan = self._plans.get((h, w))
+        if plan is None:
+            plan = make_plan(self.proto, h, w)
+            self._plans[(h, w)] = plan
+        return plan
+
+    def _canvases(self, image: np.ndarray, text_features):
+        h, w, _ = image.shape
+        plan = self._plan(h, w)
+        pyramid = [
+            jnp.asarray(p) for p in build_pyramid(self.proto, image, plan)
+        ]
+        if self._accumulate is None:
+            self._accumulate = _make_accumulate(
+                self.proto, self._apply_fn, self.num_classes
+            )
+        canvases = self._accumulate(
+            tuple(pyramid), jnp.asarray(plan.crops), text_features
+        )
+        return canvases, plan
+
+    def _mats(self, plan: TTAPlan, hb: int, wb: int):
+        mats_h, mats_w = [], []
+        for (hs, ws), P in zip(plan.sizes, self.proto.canvas_sizes):
+            Ah = np.zeros((hb, P), np.float32)
+            Ah[: plan.h, :hs] = _interp_matrix(hs, plan.h, True)
+            Aw = np.zeros((wb, P), np.float32)
+            Aw[: plan.w, :ws] = _interp_matrix(ws, plan.w, True)
+            mats_h.append(jnp.asarray(Ah))
+            mats_w.append(jnp.asarray(Aw))
+        return tuple(mats_h), tuple(mats_w)
+
+    def __call__(
+        self, image: np.ndarray, text_features, return_logits: bool = False
+    ):
+        """image: (H, W, 3) normalized fp32. Returns (H, W) int32 argmax
+        map (or (H, W, K) fp32 summed logits when `return_logits`)."""
+        h, w, _ = image.shape
+        canvases, plan = self._canvases(image, text_features)
+        hb, wb = _bucket(h, self.bucket_step), _bucket(w, self.bucket_step)
+        mats_h, mats_w = self._mats(plan, hb, wb)
+        fn = self._assemble_logits if return_logits else self._assemble_argmax
+        out = fn(canvases, mats_h, mats_w)
+        return np.asarray(out)[:h, :w]

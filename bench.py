@@ -2,17 +2,26 @@
 
 Measures images/sec/chip for the flagship LSeg ViT-L/16 forward at
 480×480 with the full 150-class text-embedding matrix — the
-BASELINE.json north-star config (≥300 img/s/chip on v5e). The text
+BASELINE.json north-star config (≥300 img/s/chip on v5e). Text
 embeddings are precomputed (cached per label set, as in serving), so the
 measured path is exactly the per-image hot loop.
 
+Timing methodology: the forward is iterated ON DEVICE inside one jit'd
+`lax.fori_loop` (each iteration's input is perturbed by the loop index
+so XLA cannot hoist or CSE the body), and only a scalar checksum leaves
+the device. Per-iteration time is the slope between an N=1 and an N=1+K
+run, which cancels dispatch/transfer constants — robust even on relayed
+TPU backends where `block_until_ready` returns before execution
+completes and host↔device transfers are slow.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is value / 300 (the north-star target; the reference
-publishes no throughput numbers — BASELINE.md).
+vs_baseline = value / 300 (north-star; the reference publishes no
+throughput numbers — BASELINE.md).
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -24,6 +33,10 @@ NORTH_STAR = 300.0  # img/s/chip on v5e (BASELINE.json)
 
 
 def main() -> None:
+    jax.config.update("jax_compilation_cache_dir",
+                      "/tmp/lseg_tpu_jax_cache_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from lseg_tpu.config import get_config
     from lseg_tpu.models.lseg import LSegNet
 
@@ -31,36 +44,43 @@ def main() -> None:
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     batch = 8
+    iters = 12
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batch = int(arg.split("=")[1])
+        if arg.startswith("--iters="):
+            iters = int(arg.split("=")[1])
 
     key = jax.random.PRNGKey(0)
     x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     variables = jax.jit(model.init)(key, x1, txt)
-
-    @jax.jit
-    def forward(variables, x, txt):
-        # Serving returns the argmax label map; keeping it on device
-        # avoids the (N,480,480,150) fp32 logit transfer.
-        logits = model.apply(variables, x, txt)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
-
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
-    # Compile + warmup.
-    forward(variables, x, txt).block_until_ready()
-    for _ in range(3):
-        forward(variables, x, txt).block_until_ready()
 
-    iters = 20
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = forward(variables, x, txt)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+    @functools.partial(jax.jit, static_argnames=("n",))
+    def run(v, x, t, n):
+        def body(i, acc):
+            xi = x + (i.astype(jnp.float32) * 1e-6)
+            pred = jnp.argmax(model.apply(v, xi, t), axis=-1)
+            return acc + jnp.sum(pred, dtype=jnp.int32)
 
-    img_per_sec = batch * iters / dt
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+    def timed(n: int) -> float:
+        t0 = time.perf_counter()
+        val = int(run(variables, x, txt, n))  # scalar fetch forces exec
+        dt = time.perf_counter() - t0
+        assert val != -1
+        return dt
+
+    # compile both program variants, then measure the slope
+    timed(1)
+    timed(1 + iters)
+    t1 = min(timed(1) for _ in range(2))
+    tn = min(timed(1 + iters) for _ in range(2))
+    per_iter = (tn - t1) / iters
+    img_per_sec = batch / per_iter
+
     print(json.dumps({
         "metric": "img_per_sec_chip_480x480_ade20k150_zeroshot",
         "value": round(img_per_sec, 2),

@@ -1,0 +1,140 @@
+"""Host-side image/mask preprocessing.
+
+Replaces the reference's torchvision/cv2 transform stack
+(reference: modules/lseg_module.py:37-53 — ToTensor + Normalize(0.5,0.5);
+training augmentation comes from PyTorch-Encoding's BaseDataset sync
+transforms; fewshot_data/data/dataset.py:31-33 — Resize(480,480)+norm).
+
+All functions are NumPy/PIL only (no torch): they run in loader worker
+threads and feed fixed-shape fp32 NHWC batches to the device. The
+augmentation recipe matches the encoding-package semantics the reference
+trains with:
+
+    train: random hflip; random long-side scale in [0.5, 2.0]*base_size
+           (aspect preserved); pad to >= crop (image: 0 pre-norm, mask:
+           ignore); random crop to crop×crop
+    val:   center-crop protocol — resize short side to crop, center crop
+    testval: original size, mask only shifted (label 0 -> ignore)
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+DEFAULT_MEAN = (0.5, 0.5, 0.5)
+DEFAULT_STD = (0.5, 0.5, 0.5)
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize(
+    img: np.ndarray,
+    mean: Tuple[float, float, float] = DEFAULT_MEAN,
+    std: Tuple[float, float, float] = DEFAULT_STD,
+) -> np.ndarray:
+    """uint8/float (H,W,3) -> normalized fp32: (x/255 - mean)/std."""
+    x = img.astype(np.float32)
+    if img.dtype == np.uint8:
+        x = x / 255.0
+    return (x - np.asarray(mean, np.float32)) / np.asarray(std, np.float32)
+
+
+def pil_resize(
+    img: Image.Image, size_hw: Tuple[int, int], is_mask: bool
+) -> Image.Image:
+    return img.resize(
+        (size_hw[1], size_hw[0]),
+        Image.NEAREST if is_mask else Image.BILINEAR,
+    )
+
+
+def train_transform(
+    img: Image.Image,
+    mask: Image.Image,
+    base_size: int,
+    crop_size: int,
+    *,
+    rng: Optional[random.Random] = None,
+    mean=DEFAULT_MEAN,
+    std=DEFAULT_STD,
+    ignore_index: int = -1,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Synchronized random-scale/flip/crop augmentation -> fixed
+    (crop, crop, 3) fp32 + (crop, crop) int32."""
+    rng = rng or random
+    if rng.random() < 0.5:
+        img = img.transpose(Image.FLIP_LEFT_RIGHT)
+        mask = mask.transpose(Image.FLIP_LEFT_RIGHT)
+
+    w, h = img.size
+    long_size = int(base_size * (0.5 + rng.random() * 1.5))  # [0.5, 2.0)
+    if h > w:
+        oh, ow = long_size, max(1, int(w * long_size / h + 0.5))
+    else:
+        ow, oh = long_size, max(1, int(h * long_size / w + 0.5))
+    img = pil_resize(img, (oh, ow), is_mask=False)
+    mask = pil_resize(mask, (oh, ow), is_mask=True)
+
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    m = np.asarray(mask, dtype=np.int32)
+
+    ph, pw = max(crop_size - oh, 0), max(crop_size - ow, 0)
+    if ph or pw:
+        arr = np.pad(arr, ((0, ph), (0, pw), (0, 0)))
+        m = np.pad(m, ((0, ph), (0, pw)), constant_values=ignore_index)
+
+    hh, ww = arr.shape[:2]
+    y0 = rng.randint(0, hh - crop_size) if hh > crop_size else 0
+    x0 = rng.randint(0, ww - crop_size) if ww > crop_size else 0
+    arr = arr[y0: y0 + crop_size, x0: x0 + crop_size]
+    m = m[y0: y0 + crop_size, x0: x0 + crop_size]
+    return normalize(arr, mean, std), m
+
+
+def val_transform(
+    img: Image.Image,
+    mask: Image.Image,
+    crop_size: int,
+    *,
+    mean=DEFAULT_MEAN,
+    std=DEFAULT_STD,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic: resize short side to crop, center crop."""
+    w, h = img.size
+    if w > h:
+        oh, ow = crop_size, int(w * crop_size / h + 0.5)
+    else:
+        ow, oh = crop_size, int(h * crop_size / w + 0.5)
+    img = pil_resize(img, (oh, ow), is_mask=False)
+    mask = pil_resize(mask, (oh, ow), is_mask=True)
+    y0, x0 = (oh - crop_size) // 2, (ow - crop_size) // 2
+    arr = np.asarray(img, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    arr = arr[y0: y0 + crop_size, x0: x0 + crop_size]
+    m = np.asarray(mask, dtype=np.int32)[
+        y0: y0 + crop_size, x0: x0 + crop_size
+    ]
+    return normalize(arr, mean, std), m
+
+
+def resize_square(
+    img: Image.Image,
+    size: int,
+    *,
+    mean=DEFAULT_MEAN,
+    std=DEFAULT_STD,
+) -> np.ndarray:
+    """The few-shot pipeline's Resize((size, size)) + normalize
+    (reference: fewshot_data/data/dataset.py:31-33)."""
+    arr = np.asarray(pil_resize(img, (size, size), is_mask=False),
+                     dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = np.stack([arr] * 3, axis=-1)
+    return normalize(arr, mean, std)

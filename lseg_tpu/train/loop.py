@@ -1,0 +1,130 @@
+"""The training loop — functional replacement for the reference's
+PyTorch-Lightning Trainer + LSegmentationModule
+(reference: utils.py:16-46, modules/lsegmentation_module.py).
+
+One process drives all local devices via jit/SPMD; multi-host runs the
+same loop per process with `jax.distributed.initialize()` done by the
+caller. Auto-resume, periodic validation with pixAcc/mIoU, last+best
+checkpoints, and CSV/stdout logging.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import jax
+import numpy as np
+
+from lseg_tpu.train.checkpoint import CheckpointManager
+from lseg_tpu.train.step import make_eval_step, make_train_step
+
+
+@dataclass
+class FitConfig:
+    max_epochs: int = 240
+    ignore_index: int = -1
+    accumulate: int = 1
+    log_every: int = 10
+    ckpt_dir: str = "checkpoints/default"
+    resume: bool = True
+    val_every: int = 1
+
+
+class CSVLogger:
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        self._f = open(path, "a")
+        self._header_written = os.path.getsize(path) > 0
+
+    def log(self, row: dict):
+        if not self._header_written:
+            self._f.write(",".join(row.keys()) + "\n")
+            self._header_written = True
+        self._f.write(",".join(str(v) for v in row.values()) + "\n")
+        self._f.flush()
+
+
+def fit(
+    state,
+    train_loader,
+    text_features,
+    cfg: FitConfig,
+    val_loader=None,
+    nclass: Optional[int] = None,
+    log: Callable[[str], None] = print,
+):
+    """Run the full training schedule; returns the final state."""
+    train_step = jax.jit(
+        make_train_step(cfg.ignore_index, cfg.accumulate),
+        donate_argnums=(0,),
+    )
+    eval_step = jax.jit(make_eval_step(cfg.ignore_index))
+    ckpt = CheckpointManager(cfg.ckpt_dir)
+    csv = CSVLogger(os.path.join(cfg.ckpt_dir, "metrics.csv"))
+
+    start_epoch = 0
+    if cfg.resume:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            steps_per_epoch = max(len(train_loader), 1)
+            start_epoch = int(state.step) // steps_per_epoch
+            log(f"resumed from step {int(state.step)} "
+                f"(epoch {start_epoch})")
+
+    for epoch in range(start_epoch, cfg.max_epochs):
+        t0 = time.time()
+        running = {"loss": 0.0, "correct": 0.0, "labeled": 0.0}
+        n_steps = 0
+        for batch in train_loader:
+            state, metrics = train_step(state, batch, text_features)
+            n_steps += 1
+            if n_steps % cfg.log_every == 0:
+                running["loss"] = float(metrics["loss"])
+                running["correct"] += float(metrics["correct"])
+                running["labeled"] += float(metrics["labeled"])
+                log(
+                    f"epoch {epoch} step {n_steps} "
+                    f"loss {running['loss']:.4f}"
+                )
+        epoch_time = time.time() - t0
+
+        row = {
+            "epoch": epoch,
+            "loss": running["loss"],
+            "epoch_time_s": round(epoch_time, 2),
+            "val_acc": "",
+            "val_miou": "",
+        }
+
+        if val_loader is not None and (epoch + 1) % cfg.val_every == 0:
+            correct = labeled = 0.0
+            inter = union = None
+            for batch in val_loader:
+                m = eval_step(state, batch, text_features)
+                correct += float(m["correct"])
+                labeled += float(m["labeled"])
+                i = np.asarray(m["inter"], np.float64)
+                u = np.asarray(m["union"], np.float64)
+                inter = i if inter is None else inter + i
+                union = u if union is None else union + u
+            eps = np.spacing(1.0)
+            val_acc = correct / (eps + labeled)
+            val_miou = float(np.mean(inter / (eps + union)))
+            row["val_acc"], row["val_miou"] = val_acc, val_miou
+            log(
+                f"epoch {epoch} val pixAcc {val_acc:.4f} "
+                f"mIoU {val_miou:.4f} ({epoch_time:.1f}s)"
+            )
+            ckpt.save(int(state.step), state,
+                      {"val_acc": val_acc, "val_miou": val_miou})
+        else:
+            ckpt.save(int(state.step), state, {})
+
+        csv.log(row)
+
+    ckpt.wait()
+    return state

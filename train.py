@@ -1,0 +1,198 @@
+"""Train LSeg-TPU — CLI mirroring the reference's train_lseg.py surface
+(reference: train_lseg.py, utils.py:49-91,
+modules/lseg_module.py:112-183, train.sh recipe).
+
+Example (the reference ADE20K recipe, train.sh:5-6):
+    python train.py --dataset ade20k --data_path ./datasets \
+        --batch_size 1 --base_lr 0.004 --max_epochs 240 \
+        --accumulate_grad_batches 2 --backbone clip_vitl16_384 \
+        --ckpt path/to/converted_reference.npz --bpe_vocab path/to/bpe.gz
+
+Text embeddings for the dataset's label set are computed once from the
+CLIP text tower and cached; pass --text_features to supply a
+precomputed (K, C) .npy instead (e.g. for the synthetic smoke dataset).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("lseg_tpu trainer")
+    # data (reference lsegmentation_module.py:246-304)
+    p.add_argument("--dataset", default="ade20k",
+                   choices=["ade20k", "synthetic"])
+    p.add_argument("--data_path", default="datasets")
+    p.add_argument("--label_dir", default="/root/reference/label_files")
+    p.add_argument("--batch_size", type=int, default=16)
+    p.add_argument("--base_size", type=int, default=520)
+    p.add_argument("--crop_size", type=int, default=480)
+    p.add_argument("--num_workers", type=int, default=16)
+    p.add_argument("--ignore_index", type=int, default=-1)
+    # optimizer (reference lsegmentation_module.py:119-175)
+    p.add_argument("--base_lr", type=float, default=0.004)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--weight_decay", type=float, default=1e-4)
+    p.add_argument("--midasproto", action="store_true")
+    p.add_argument("--max_epochs", type=int, default=240)
+    p.add_argument("--accumulate_grad_batches", type=int, default=1)
+    # model (reference lseg_module.py:112-183)
+    p.add_argument("--backbone", default="clip_vitl16_384")
+    p.add_argument("--num_features", type=int, default=256)
+    p.add_argument("--arch_option", type=int, default=0)
+    p.add_argument("--block_depth", type=int, default=0)
+    p.add_argument("--activation", default="lrelu")
+    p.add_argument("--no-batchnorm", dest="no_batchnorm",
+                   action="store_true")
+    # accepted-for-compat flags the reference parses but does not route
+    # into the net (SURVEY.md §5 config notes)
+    p.add_argument("--widehead", action="store_true")
+    p.add_argument("--widehead_hr", action="store_true")
+    p.add_argument("--no-scaleinv", dest="no_scaleinv",
+                   action="store_true")
+    # harness (reference utils.py:49-91)
+    p.add_argument("--exp_name", default="lseg")
+    p.add_argument("--dry-run", dest="dry_run", action="store_true")
+    p.add_argument("--no_resume", action="store_true")
+    p.add_argument("--ckpt_root", default="checkpoints")
+    # weights / text
+    p.add_argument("--ckpt", default=None,
+                   help="reference .ckpt or exported .npz to init from")
+    p.add_argument("--bpe_vocab", default=None,
+                   help="CLIP bpe_simple_vocab_16e6.txt.gz path")
+    p.add_argument("--text_features", default=None,
+                   help="precomputed (K, C) .npy label embeddings")
+    p.add_argument("--dtype", default="bfloat16",
+                   choices=["float32", "bfloat16"])
+    return p.parse_args()
+
+
+def build_dataset(args):
+    if args.dataset == "synthetic":
+        from lseg_tpu.data.synthetic import SyntheticSegDataset
+
+        train = SyntheticSegDataset(n=64, size=args.crop_size,
+                                    num_classes=4)
+        val = SyntheticSegDataset(n=16, size=args.crop_size,
+                                  num_classes=4, seed=1)
+        labels = [f"class{i}" for i in range(4)]
+        return train, val, labels
+    from lseg_tpu.data.ade20k import ADE20KSegmentation
+    from lseg_tpu.data.labels import get_labels
+
+    train = ADE20KSegmentation(
+        args.data_path, "train", base_size=args.base_size,
+        crop_size=args.crop_size, ignore_index=args.ignore_index,
+    )
+    val = ADE20KSegmentation(
+        args.data_path, "val", mode="val", base_size=args.base_size,
+        crop_size=args.crop_size, ignore_index=args.ignore_index,
+    )
+    return train, val, get_labels("ade20k", args.label_dir)
+
+
+def get_text_features(args, cfg, labels):
+    if args.text_features:
+        return jnp.asarray(np.load(args.text_features))
+    if args.ckpt and args.bpe_vocab:
+        from lseg_tpu.text.tokenizer import ClipBPETokenizer
+        from lseg_tpu.text.cache import TextFeatureCache
+        from lseg_tpu.utils.checkpoint_convert import (
+            extract_state_dict, load_torch_file, convert_clip_text,
+        )
+
+        sd = extract_state_dict(load_torch_file(args.ckpt))
+        text_vars = convert_clip_text(sd)
+        tok = ClipBPETokenizer.from_file(args.bpe_vocab)
+        cache = TextFeatureCache(cfg.text, text_vars, tok)
+        return cache(tuple(labels))
+    # random fixed embeddings: smoke-training only
+    print("WARNING: no text tower provided; using fixed random "
+          "label embeddings (smoke mode)")
+    k = len(labels)
+    return jax.random.normal(jax.random.PRNGKey(0), (k, cfg.out_c))
+
+
+def main():
+    args = parse_args()
+    from lseg_tpu.config import get_config
+    from lseg_tpu.data.loader import DataLoader
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.parallel import batch_sharding, create_mesh, shard_state
+    from lseg_tpu.train import (
+        create_train_state, make_optimizer,
+    )
+    from lseg_tpu.train.loop import FitConfig, fit
+
+    train_ds, val_ds, labels = build_dataset(args)
+
+    if args.dataset == "synthetic":
+        from lseg_tpu.testing import tiny_vit_config
+
+        cfg = tiny_vit_config()
+    else:
+        cfg = get_config(
+            args.backbone, features=args.num_features,
+            arch_option=args.arch_option, block_depth=args.block_depth,
+            activation=args.activation, use_bn=not args.no_batchnorm,
+        )
+
+    dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
+    model = LSegNet(cfg, dtype=dtype, remat=True)
+    text_features = get_text_features(args, cfg, labels)
+
+    x0 = jnp.zeros((1, args.crop_size, args.crop_size, 3)
+                   if args.dataset != "synthetic"
+                   else (1, args.crop_size, args.crop_size, 3))
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        jax.random.PRNGKey(0), x0, text_features, train=True
+    )
+    if args.ckpt:
+        if args.ckpt.endswith(".npz"):
+            from lseg_tpu.train.checkpoint import import_params
+
+            variables = import_params(args.ckpt)
+        else:
+            from lseg_tpu.utils.checkpoint_convert import (
+                load_reference_checkpoint,
+            )
+
+            variables, _ = load_reference_checkpoint(args.ckpt, cfg)
+
+    mesh = create_mesh(n_data=len(jax.devices()), n_model=1)
+    steps_per_epoch = max(len(train_ds) // args.batch_size, 1)
+    tx = make_optimizer(
+        args.base_lr, max_steps=steps_per_epoch * args.max_epochs,
+        batch_size=args.batch_size, momentum=args.momentum,
+        weight_decay=args.weight_decay, midas_proto=args.midasproto,
+    )
+    state = create_train_state(model, variables, tx)
+    state = jax.device_put(state, shard_state(state, mesh))
+
+    bsh = batch_sharding(mesh)
+    train_loader = DataLoader(
+        train_ds, args.batch_size, shuffle=True,
+        num_workers=args.num_workers, sharding=bsh,
+    )
+    val_loader = DataLoader(
+        val_ds, args.batch_size, shuffle=False,
+        num_workers=args.num_workers, sharding=bsh,
+    )
+
+    fit_cfg = FitConfig(
+        max_epochs=args.max_epochs if not args.dry_run else 1,
+        ignore_index=args.ignore_index,
+        accumulate=args.accumulate_grad_batches,
+        ckpt_dir=f"{args.ckpt_root}/{args.exp_name}",
+        resume=not args.no_resume,
+    )
+    fit(state, train_loader, text_features, fit_cfg, val_loader)
+
+
+if __name__ == "__main__":
+    main()

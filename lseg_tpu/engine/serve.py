@@ -1,0 +1,72 @@
+"""Serving predictors: the open-vocabulary inference entry points.
+
+`make_predictor` builds the jit'd image->label-map function used by the
+app / demo / benchmark (reference: lseg_app.py request loop, SURVEY.md
+§3.4), composing:
+
+    pixel embeddings  (LSegNet image tower, bf16)
+    fused_correlate   (Pallas: normalize+matmul+scale in one pass)
+    upsample2x_argmax (Pallas: ×2 align_corners upsample + argmax,
+                       full-res logits never hit HBM)
+
+Text features come precomputed from `TextFeatureCache`, so per-request
+label lists swap in with zero retracing (only K changes shape, one
+compile per distinct K).
+
+The XLA path (`use_pallas=False`) computes identical values through
+`ops.correlation.correlate` + matmul upsample + argmax — the Pallas path
+is cross-checked against it in tests.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from lseg_tpu.ops.correlation import correlate
+from lseg_tpu.ops.pallas_correlation import fused_correlate
+from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax
+from lseg_tpu.ops.resize import upsample2x
+
+
+def make_predictor(
+    model,
+    variables,
+    use_pallas: bool = True,
+    interpret: bool = False,
+) -> Callable:
+    """(images (N,H,W,3) fp32, text_features (K,C)) -> (N,H,W) int32."""
+    cfg = model.cfg
+
+    @jax.jit
+    def predict(images, text_features):
+        if cfg.arch_option in (1, 2):
+            # spatial-regularization head blocks sit between correlation
+            # and upsample; run the full model forward (XLA head)
+            out = model.apply(variables, images, text_features)
+            return jnp.argmax(out, axis=-1).astype(jnp.int32)
+        emb = model.apply(variables, images, None)  # (N, H/2, W/2, C)
+        if use_pallas:
+            logits = fused_correlate(
+                emb, text_features, logit_scale=cfg.logit_scale,
+                interpret=interpret,
+            )
+            return upsample2x_argmax(logits, interpret=interpret)
+        logits = correlate(emb, text_features, logit_scale=cfg.logit_scale)
+        up = upsample2x(logits, align_corners=True)
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    return predict
+
+
+def make_logits_fn(model, variables) -> Callable:
+    """(images, text_features) -> (N, H, W, K) fp32 logits — the TTA
+    evaluator's crop forward (full LSegNet.__call__ path, XLA head, since
+    TTA sums logits across windows/scales before any argmax)."""
+
+    def logits(images, text_features):
+        return model.apply(variables, images, text_features)
+
+    return logits

@@ -1,0 +1,97 @@
+"""Fused per-pixel image–text correlation as a Pallas TPU kernel.
+
+The north-star op (BASELINE.json): L2-normalization of pixel embeddings
+AND label embeddings + the (HW×C)·(C×K) similarity matmul + temperature
+scaling in ONE VMEM-resident pass. The XLA version
+(`lseg_tpu.ops.correlation.correlate`) materializes both normalized
+operands in HBM; here each row tile is normalized in VMEM and goes
+straight to the MXU, so HBM traffic is exactly one read of the pixels +
+one read of the text matrix + one write of the logits.
+
+Reference semantics (modules/models/lseg_net.py:185-196):
+    logits = scale * (img / ||img||) @ (txt / ||txt||)^T
+
+Shapes are padded to MXU-friendly tiles by the wrapper; K (label count)
+is padded to a lane multiple and sliced back.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, t_ref, o_ref, *, scale: float):
+    # x: (TM, C) pixel-embedding tile; t: (Kp, C) full text matrix.
+    x = x_ref[:].astype(jnp.float32)
+    t = t_ref[:].astype(jnp.float32)
+    xn = x * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(x * x, axis=-1, keepdims=True), 1e-24)
+    )
+    # zero rows (K padding) keep norm 0 via the max guard -> logits 0
+    tn = t * jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(t * t, axis=-1, keepdims=True), 1e-24)
+    )
+    o_ref[:] = scale * jax.lax.dot_general(
+        xn, tn,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+)
+def fused_correlate(
+    image_features: jnp.ndarray,  # (N, H, W, C)
+    text_features: jnp.ndarray,   # (K, C)
+    logit_scale: float = 1.0 / 0.07,
+    tile_m: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Temperature-scaled cosine-similarity logits (N, H, W, K) fp32.
+
+    Drop-in for `ops.correlation.correlate` (without the fp16-emulation
+    parity knob, which stays on the XLA path)."""
+    n, h, w, c = image_features.shape
+    k = text_features.shape[0]
+    m = n * h * w
+    mp = _round_up(m, tile_m)
+    kp = _round_up(k, 128)
+
+    x = image_features.reshape(m, c)
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    t = text_features.astype(jnp.float32)
+    if kp != k:
+        t = jnp.pad(t, ((0, kp - k), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=float(logit_scale)),
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, c), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, kp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * mp * kp * c,
+            bytes_accessed=mp * c * x.dtype.itemsize
+            + kp * c * 4 + mp * kp * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(x, t)
+    return out[:m, :k].reshape(n, h, w, k)

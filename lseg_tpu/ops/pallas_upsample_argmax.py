@@ -1,0 +1,122 @@
+"""Fused ×2 bilinear (align_corners=True) upsample + argmax Pallas kernel.
+
+The reference's output head upsamples the K-channel logit map to full
+crop resolution and the caller argmaxes it
+(reference: modules/models/lseg_net.py:203,219-221 + test_lseg.py /
+lseg_app.py argmax). Done naively this materializes an
+(N, 2H, 2W, K) fp32 tensor (221 MB per 480-crop at K=150) just to
+immediately reduce it. This kernel streams row tiles: each grid step
+DMAs a small input slab + the matching rows of the 1-D interpolation
+operators out of HBM, forms the upsampled tile in VMEM via two MXU
+matmuls, argmaxes over K in-register, and writes only the int32 label
+tile — the full-resolution logits never exist in HBM.
+
+Serving path: `fused_correlate` (pallas_correlation.py) -> this kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lseg_tpu.ops.resize import _interp_matrix
+
+
+def _kernel(
+    logits_hbm, ah_hbm, aw_ref, out_ref,
+    in_scratch, ah_scratch, sems,
+    *, h: int, w: int, k: int, kp: int, tile_o: int, tile_i: int,
+):
+    n_idx = pl.program_id(0)
+    t_idx = pl.program_id(1)
+    ob = t_idx * tile_o
+
+    # input row window start: floor(ob * (h-1)/(2h-1)), clamped so the
+    # tile_i-row slab stays in range
+    ib = jax.lax.min(
+        (ob * (h - 1)) // (2 * h - 1), jnp.int32(max(h - tile_i, 0))
+    )
+
+    in_dma = pltpu.make_async_copy(
+        logits_hbm.at[n_idx, pl.ds(ib, tile_i)], in_scratch, sems.at[0]
+    )
+    ah_dma = pltpu.make_async_copy(
+        ah_hbm.at[pl.ds(ob, tile_o), pl.ds(ib, tile_i)],
+        ah_scratch, sems.at[1],
+    )
+    in_dma.start()
+    ah_dma.start()
+    in_dma.wait()
+    ah_dma.wait()
+
+    slab = in_scratch[:].astype(jnp.float32)        # (tile_i, w, kp)
+    ah = ah_scratch[:].astype(jnp.float32)          # (tile_o, tile_i)
+    aw = aw_ref[:].astype(jnp.float32)              # (2w, w)
+
+    rows = jax.lax.dot_general(                     # (tile_o, w*kp)
+        ah, slab.reshape(tile_i, w * kp),
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).reshape(tile_o, w, kp)
+    up = jax.lax.dot_general(                       # (tile_o, 2w, kp)
+        rows, aw,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(0, 2, 1)
+
+    if kp != k:  # mask K padding out of the argmax
+        lane = jax.lax.broadcasted_iota(jnp.int32, up.shape, 2)
+        up = jnp.where(lane < k, up, -jnp.inf)
+    out_ref[0] = jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("tile_o", "interpret")
+)
+def upsample2x_argmax(
+    logits: jnp.ndarray,  # (N, H, W, K) fp32
+    tile_o: int = 16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """argmax_K of the ×2 align_corners=True bilinear upsample, without
+    materializing the upsampled logits. Returns (N, 2H, 2W) int32."""
+    n, h, w, k = logits.shape
+    oh, ow = 2 * h, 2 * w
+    kp = -(-k // 128) * 128
+    if kp != k:
+        logits = jnp.pad(logits, ((0, 0), (0, 0), (0, 0), (0, kp - k)))
+    tile_i = tile_o // 2 + 2
+    n_tiles = -(-oh // tile_o)
+
+    ah = np.zeros((n_tiles * tile_o, h), np.float32)
+    ah[:oh] = _interp_matrix(h, oh, True)
+    aw = np.asarray(_interp_matrix(w, ow, True))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, h=h, w=w, k=k, kp=kp, tile_o=tile_o, tile_i=tile_i,
+        ),
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),      # logits stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),      # Ah rows DMA'd per tile
+            pl.BlockSpec((ow, w), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, tile_o, ow), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, n_tiles * tile_o, ow),
+                                       jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((tile_i, w, kp), logits.dtype),
+            pltpu.VMEM((tile_o, tile_i), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        interpret=interpret,
+    )(logits, jnp.asarray(ah), jnp.asarray(aw))
+    return out[:, :oh]

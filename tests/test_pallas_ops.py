@@ -1,0 +1,65 @@
+"""Pallas kernels vs their XLA references (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lseg_tpu.ops.correlation import correlate
+from lseg_tpu.ops.pallas_correlation import fused_correlate
+from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax
+from lseg_tpu.ops.resize import upsample2x
+
+
+def test_fused_correlate_matches_xla():
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.randn(2, 8, 16, 64).astype(np.float32))
+    txt = jnp.asarray(rng.randn(5, 64).astype(np.float32))
+    ref = correlate(img, txt)
+    got = fused_correlate(img, txt, tile_m=64, interpret=True)
+    assert got.shape == ref.shape == (2, 8, 16, 5)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_fused_correlate_bf16_input():
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.randn(1, 8, 8, 64)).astype(jnp.bfloat16)
+    txt = jnp.asarray(rng.randn(3, 64).astype(np.float32))
+    got = fused_correlate(img, txt, tile_m=64, interpret=True)
+    ref = correlate(img.astype(jnp.float32), txt)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_upsample2x_argmax_matches_xla():
+    rng = np.random.RandomState(2)
+    # H not a multiple of the tile, K not a multiple of 128
+    logits = jnp.asarray(rng.randn(2, 12, 16, 7).astype(np.float32))
+    ref = jnp.argmax(upsample2x(logits, align_corners=True), axis=-1)
+    got = upsample2x_argmax(logits, tile_o=8, interpret=True)
+    assert got.shape == (2, 24, 32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+
+def test_upsample2x_argmax_k_padding_masked():
+    # all-negative logits: if padding lanes (zeros) leaked into the
+    # argmax they would win — they must not
+    logits = -jnp.ones((1, 8, 8, 3)) * jnp.asarray([3.0, 1.0, 2.0])
+    got = upsample2x_argmax(logits, tile_o=8, interpret=True)
+    np.testing.assert_array_equal(np.asarray(got), 1)
+
+
+def test_serve_predictor_pallas_matches_xla():
+    from lseg_tpu.engine.serve import make_predictor
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.testing import tiny_vit_config
+
+    cfg = tiny_vit_config()
+    model = LSegNet(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(5, cfg.out_c).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, txt)
+    a = make_predictor(model, v, use_pallas=False)(x, txt)
+    b = make_predictor(model, v, use_pallas=True, interpret=True)(x, txt)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

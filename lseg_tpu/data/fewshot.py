@@ -69,9 +69,21 @@ class _FewshotBase:
         self.mean = T.IMAGENET_MEAN if imagenet_norm else T.DEFAULT_MEAN
         self.std = T.IMAGENET_STD if imagenet_norm else T.DEFAULT_STD
 
-    def _img(self, pil: Image.Image) -> np.ndarray:
+    def _img(self, img) -> np.ndarray:
+        """PIL image or file path -> (S, S, 3) normalized fp32. Paths go
+        through the native C decode+resize+normalize pipeline when the
+        library is available (lseg_tpu/data/native.py)."""
+        if isinstance(img, str):
+            from lseg_tpu.data import native
+
+            out = native.load_image_f32(
+                img, (self.img_size, self.img_size), self.mean, self.std
+            )
+            if out is not None:
+                return out
+            img = Image.open(img).convert("RGB")
         return T.resize_square(
-            pil, self.img_size, mean=self.mean, std=self.std
+            img, self.img_size, mean=self.mean, std=self.std
         ).astype(np.float32)
 
     def _assemble(self, qimg, qmask, qignore, simgs, smasks, cid,

@@ -164,9 +164,7 @@ class DatasetPASCAL(_FewshotBase):
             if s != name:
                 supports.append(s)
 
-        qimg = Image.open(
-            os.path.join(self.img_path, name + ".jpg")
-        ).convert("RGB")
+        qimg = os.path.join(self.img_path, name + ".jpg")
         raw = np.asarray(
             Image.open(os.path.join(self.ann_path, name + ".png"))
         )
@@ -174,9 +172,7 @@ class DatasetPASCAL(_FewshotBase):
         qmask = (raw == cid + 1).astype(np.int32)
         simgs, smasks = [], []
         for s in supports:
-            simgs.append(Image.open(
-                os.path.join(self.img_path, s + ".jpg")
-            ).convert("RGB"))
+            simgs.append(os.path.join(self.img_path, s + ".jpg"))
             sraw = np.asarray(
                 Image.open(os.path.join(self.ann_path, s + ".png"))
             )
@@ -231,17 +227,13 @@ class DatasetCOCO(_FewshotBase):
             p = p[: p.index(".jpg")] + ".png"
             return np.asarray(Image.open(p))
 
-        qimg = Image.open(
-            os.path.join(self.base_path, name)
-        ).convert("RGB")
+        qimg = os.path.join(self.base_path, name)
         raw = mask_of(name)
         qmask = (raw == cid + 1).astype(np.int32)
         qignore = np.zeros_like(qmask, dtype=bool)  # COCO has no 255 rim
         simgs, smasks = [], []
         for s in supports:
-            simgs.append(Image.open(
-                os.path.join(self.base_path, s)
-            ).convert("RGB"))
+            simgs.append(os.path.join(self.base_path, s))
             smasks.append((mask_of(s) == cid + 1).astype(np.int32))
         return self._assemble(qimg, qmask, qignore, simgs, smasks, cid,
                               name)
@@ -303,10 +295,10 @@ class DatasetFSS(_FewshotBase):
             ).convert("L"))
             return (m >= 128).astype(np.int32)
 
-        qimg = Image.open(qpath).convert("RGB")
+        qimg = qpath
         qmask = mask_of(qpath)
         qignore = np.zeros_like(qmask, dtype=bool)
-        simgs = [Image.open(s).convert("RGB") for s in supports]
+        simgs = list(supports)
         smasks = [mask_of(s) for s in supports]
         return self._assemble(qimg, qmask, qignore, simgs, smasks, cid,
                               os.path.relpath(qpath, self.base_path))

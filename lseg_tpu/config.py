@@ -39,6 +39,9 @@ class ViTConfig:
     # Native pretraining grid (384/patch); pos-embed is bilinearly resized
     # from this grid to the runtime grid (reference: lseg_vit.py:149-163).
     pretrain_grid: int = 24
+    # attention implementation: 'xla' einsums or 'flash' (Pallas TPU
+    # flash-attention kernel; identical math, VMEM-tiled softmax)
+    attn_impl: str = "xla"
 
 
 @dataclasses.dataclass(frozen=True)

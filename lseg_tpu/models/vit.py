@@ -30,13 +30,49 @@ from lseg_tpu.config import ViTConfig
 from lseg_tpu.ops.resize import resize_bilinear
 
 
+def _flash_attention(q, k, v, scale, dtype):
+    """Pallas TPU flash attention over a non-128-aligned token count:
+    pad seq to a lane multiple and mask pad tokens out via segment ids
+    (pad queries attend only each other and are sliced away). Keeps the
+    24 per-block (B, H, T, T) softmax matrices out of HBM entirely."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention,
+    )
+
+    n, t, h, hd = q.shape
+    tp = -(-t // 128) * 128
+    pad = tp - t
+
+    def prep(x):
+        x = jnp.transpose(x, (0, 2, 1, 3))  # (N, H, T, hd)
+        if pad:
+            x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        return x.astype(dtype)
+
+    seg = jnp.concatenate(
+        [jnp.ones((n, t), jnp.int32), jnp.zeros((n, pad), jnp.int32)],
+        axis=1,
+    )
+    out = flash_attention(
+        prep(q), prep(k), prep(v),
+        segment_ids=SegmentIds(q=seg, kv=seg),
+        sm_scale=scale,
+    )
+    return jnp.transpose(out[:, :, :t], (0, 2, 1, 3))
+
+
 class Attention(nn.Module):
     """Standard ViT multi-head self-attention (timm Block.attn semantics:
-    fused qkv projection with bias, scale = head_dim**-0.5)."""
+    fused qkv projection with bias, scale = head_dim**-0.5).
+
+    impl='xla': einsum QK^T -> fp32 softmax -> PV (XLA fusion).
+    impl='flash': Pallas TPU flash-attention kernel — identical math,
+    softmax tiled in VMEM (the attention matrices never hit HBM)."""
 
     dim: int
     num_heads: int
     dtype: Any = jnp.float32
+    impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -47,13 +83,18 @@ class Attention(nn.Module):
         qkv = qkv.reshape(n, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = hd ** -0.5
-        attn = jnp.einsum(
-            "nqhd,nkhd->nhqk", q, k, preferred_element_type=jnp.float32
-        ) * scale
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        out = jnp.einsum(
-            "nhqk,nkhd->nqhd", attn, v, preferred_element_type=jnp.float32
-        ).astype(self.dtype)
+        if self.impl == "flash":
+            out = _flash_attention(q, k, v, scale, self.dtype)
+        else:
+            attn = jnp.einsum(
+                "nqhd,nkhd->nhqk", q, k,
+                preferred_element_type=jnp.float32,
+            ) * scale
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            out = jnp.einsum(
+                "nhqk,nkhd->nqhd", attn, v,
+                preferred_element_type=jnp.float32,
+            ).astype(self.dtype)
         out = out.reshape(n, t, d)
         return nn.Dense(d, dtype=self.dtype, name="proj")(out)
 
@@ -80,11 +121,13 @@ class Block(nn.Module):
     num_heads: int
     mlp_ratio: float
     dtype: Any = jnp.float32
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.dtype, name="attn")(y)
+        x = x + Attention(self.dim, self.num_heads, self.dtype,
+                          self.attn_impl, name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
                     name="mlp")(y)
@@ -104,6 +147,7 @@ class BlockStack(nn.Module):
     mlp_ratio: float
     dtype: Any = jnp.float32
     remat: bool = False
+    attn_impl: str = "xla"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -120,6 +164,7 @@ class BlockStack(nn.Module):
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
             dtype=self.dtype,
+            attn_impl=self.attn_impl,
             name="blocks",
         )(x, None)
         return x
@@ -195,6 +240,7 @@ class DenseViT(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 remat=self.remat,
+                attn_impl=cfg.attn_impl,
                 name=f"seg{i}",
             )(x)
             taps.append(x)

@@ -21,11 +21,14 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def l2_normalize(x: jnp.ndarray, axis: int = -1, eps: float = 0.0) -> jnp.ndarray:
-    """x / ||x||_2 along `axis` (torch `x / x.norm(dim=-1, keepdim=True)`)."""
+def l2_normalize(x: jnp.ndarray, axis: int = -1,
+                 eps: float = 1e-12) -> jnp.ndarray:
+    """x / ||x||_2 along `axis` (torch `x / x.norm(dim=-1, keepdim=True)`).
+    The eps floor only guards degenerate all-zero vectors (real CLIP
+    embeddings have norms ~O(1), where the floor is a no-op)."""
     norm = jnp.sqrt(jnp.sum(jnp.square(x.astype(jnp.float32)), axis=axis,
                             keepdims=True))
-    return (x.astype(jnp.float32) / (norm + eps)).astype(x.dtype)
+    return (x.astype(jnp.float32) / jnp.maximum(norm, eps)).astype(x.dtype)
 
 
 def correlate(

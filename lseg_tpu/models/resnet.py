@@ -29,9 +29,12 @@ class Bottleneck(nn.Module):
     stride: int = 1
     downsample: bool = False
     dtype: Any = jnp.float32
+    # HSNet taps features BEFORE the final relu
+    # (reference: fewshot_data/model/base/feature.py:28-46)
+    with_prerelu: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False):
         def bn(name):
             return nn.BatchNorm(
                 use_running_average=not train, momentum=0.9, epsilon=1e-5,
@@ -58,15 +61,22 @@ class Bottleneck(nn.Module):
                 dtype=self.dtype, name="down_conv",
             )(x)
             identity = bn("down_bn")(identity)
-        return jax.nn.relu(out + identity)
+        pre = out + identity
+        post = jax.nn.relu(pre)
+        return (post, pre) if self.with_prerelu else post
 
 
 class ResNetBackbone(nn.Module):
     """4-stage ResNet returning the per-stage feature pyramid
-    (strides 4, 8, 16, 32; channels 256..2048)."""
+    (strides 4, 8, 16, 32; channels 256..2048).
+
+    `all_taps=True` additionally returns every bottleneck-block output
+    (the HSNet feature-extraction mode, reference:
+    fewshot_data/model/base/feature.py:4-24)."""
 
     cfg: ResNetConfig
     dtype: Any = jnp.float32
+    all_taps: bool = False
 
     @nn.compact
     def __call__(
@@ -90,17 +100,21 @@ class ResNetBackbone(nn.Module):
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding="VALID")
 
         outs = []
+        taps = []
         planes = (64, 128, 256, 512)
         for stage, (n_blocks, p) in enumerate(zip(self.cfg.layers, planes)):
             stride = 1 if stage == 0 else 2
-            x = Bottleneck(
-                p, stride=stride, downsample=True, dtype=self.dtype,
-                name=f"layer{stage + 1}_block0",
-            )(x, train)
-            for b in range(1, n_blocks):
-                x = Bottleneck(
-                    p, dtype=self.dtype,
+            for b in range(n_blocks):
+                block = Bottleneck(
+                    p, stride=stride if b == 0 else 1,
+                    downsample=(b == 0), dtype=self.dtype,
+                    with_prerelu=self.all_taps,
                     name=f"layer{stage + 1}_block{b}",
-                )(x, train)
+                )
+                if self.all_taps:
+                    x, pre = block(x, train)
+                    taps.append(pre)
+                else:
+                    x = block(x, train)
             outs.append(x)
-        return outs
+        return taps if self.all_taps else outs

@@ -1,0 +1,130 @@
+"""ADE20K evaluation — CLI mirroring the reference's test_lseg.py /
+test.sh (reference: test_lseg.py:37-216,432-436): single-scale or
+multi-scale sliding-window + flip TTA over the val split, reporting
+pixAcc / mIoU and per-class IoU to a log file.
+
+    python evaluate.py --dataset ade20k --data_path datasets \
+        --weights ckpt.ckpt --bpe_vocab bpe.gz [--no-tta] [--limit N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser("lseg_tpu evaluator")
+    p.add_argument("--dataset", default="ade20k")
+    p.add_argument("--data_path", default="datasets")
+    p.add_argument("--label_dir", default="/root/reference/label_files")
+    p.add_argument("--weights", required=True)
+    p.add_argument("--bpe_vocab", required=True)
+    p.add_argument("--backbone", default="clip_vitl16_384")
+    p.add_argument("--base_size", type=int, default=520)
+    p.add_argument("--crop_size", type=int, default=480)
+    p.add_argument("--scales", type=float, nargs="+",
+                   default=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75])
+    p.add_argument("--no-tta", dest="no_tta", action="store_true",
+                   help="single-scale 480 center protocol instead")
+    p.add_argument("--no-flip", dest="no_flip", action="store_true")
+    p.add_argument("--batch_size", type=int, default=8,
+                   help="single-scale batch")
+    p.add_argument("--limit", type=int, default=0,
+                   help="evaluate only the first N images (0 = all)")
+    p.add_argument("--logdir", default="logs")
+    p.add_argument("--arch_option", type=int, default=0)
+    p.add_argument("--block_depth", type=int, default=0)
+    p.add_argument("--activation", default="lrelu")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from lseg_tpu.config import get_config
+    from lseg_tpu.data.ade20k import ADE20KSegmentation
+    from lseg_tpu.data.labels import get_labels
+    from lseg_tpu.engine.eval_single import SingleScaleEvaluator
+    from lseg_tpu.engine.serve import make_logits_fn
+    from lseg_tpu.engine.tta import MultiScaleEvaluator, TTAProtocol
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.metrics import SegmentationMetric
+    from lseg_tpu.text.cache import TextFeatureCache
+    from lseg_tpu.text.tokenizer import ClipBPETokenizer
+    from lseg_tpu.utils.checkpoint_convert import load_reference_checkpoint
+
+    cfg = get_config(
+        args.backbone, arch_option=args.arch_option,
+        block_depth=args.block_depth, activation=args.activation,
+    )
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    variables, text_vars = load_reference_checkpoint(args.weights, cfg)
+    labels = get_labels(args.dataset, args.label_dir)
+    tok = ClipBPETokenizer.from_file(args.bpe_vocab)
+    txt = TextFeatureCache(cfg.text, text_vars, tok)(tuple(labels))
+
+    metric = SegmentationMetric(len(labels), ignore_index=-1)
+    logits_fn = make_logits_fn(model, variables)
+    t0 = time.time()
+
+    if args.no_tta:
+        ds = ADE20KSegmentation(
+            args.data_path, "val", mode="val",
+            base_size=args.base_size, crop_size=args.crop_size,
+        )
+        ev = SingleScaleEvaluator(
+            logits_fn, len(labels), flip=not args.no_flip
+        )
+        n = min(len(ds), args.limit) if args.limit else len(ds)
+        bs = args.batch_size
+        for i in range(0, n - n % bs, bs):
+            batch = [ds[j] for j in range(i, i + bs)]
+            imgs = jnp.asarray(np.stack([b["image"] for b in batch]))
+            tgts = np.stack([b["target"] for b in batch])
+            c, l, it, u = ev.metrics(imgs, jnp.asarray(tgts), txt)
+            metric.total_correct += float(c)
+            metric.total_label += float(l)
+            metric.total_inter += np.asarray(it, np.float64)
+            metric.total_union += np.asarray(u, np.float64)
+            if (i // bs) % 10 == 0:
+                pa, miou = metric.get()
+                print(f"[{i + bs}/{n}] pixAcc {pa:.4f} mIoU {miou:.4f}",
+                      flush=True)
+    else:
+        ds = ADE20KSegmentation(args.data_path, "val", mode="testval")
+        proto = TTAProtocol(
+            base_size=args.base_size, crop_size=args.crop_size,
+            scales=tuple(args.scales), flip=not args.no_flip,
+        )
+        ev = MultiScaleEvaluator(logits_fn, len(labels), proto)
+        n = min(len(ds), args.limit) if args.limit else len(ds)
+        for i in range(n):
+            sample = ds[i]
+            logits = ev(sample["image"], txt, return_logits=True)
+            metric.update(jnp.asarray(logits)[None],
+                          jnp.asarray(sample["target"])[None])
+            if i % 10 == 0:
+                pa, miou = metric.get()
+                print(f"[{i + 1}/{n}] pixAcc {pa:.4f} mIoU {miou:.4f}",
+                      flush=True)
+
+    pix_acc, miou = metric.get()
+    dt = time.time() - t0
+    os.makedirs(args.logdir, exist_ok=True)
+    mode = "single" if args.no_tta else "multi"
+    with open(os.path.join(
+        args.logdir, f"log_test_{args.dataset}_{mode}.txt"
+    ), "a") as f:
+        f.write(f"pixAcc: {pix_acc:.4f}, mIoU: {miou:.4f}, "
+                f"images: {n}, seconds: {dt:.1f}\n")
+        for i, iou in enumerate(metric.per_class_iou()):
+            f.write(f"  {i:3d} {labels[i]}: {iou:.4f}\n")
+    print(f"FINAL pixAcc {pix_acc:.4f} mIoU {miou:.4f} ({dt:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

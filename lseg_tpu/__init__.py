@@ -13,4 +13,4 @@ TPU MXU. See SURVEY.md for the reference analysis and build plan.
 
 __version__ = "0.1.0"
 
-from lseg_tpu.config import LSegConfig, BACKBONES  # noqa: F401
+from lseg_tpu.config import LSegConfig, BACKBONES, get_config  # noqa: F401

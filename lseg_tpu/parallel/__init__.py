@@ -1,4 +1,5 @@
 from lseg_tpu.parallel.mesh import (  # noqa: F401
+    init_distributed,
     batch_sharding,
     create_mesh,
     param_shardings,

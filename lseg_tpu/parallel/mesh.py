@@ -107,3 +107,22 @@ def shard_state(state, mesh: Mesh):
     e.g. opt_state/.../trace/vit/seg0/blocks/attn/qkv/kernel) inherit the
     same TP layout as their params; everything else replicates."""
     return param_shardings(state, mesh)
+
+
+def init_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host bring-up (the reference's SLURM/NCCL multi-node path,
+    utils.py:51-56 + sbatch_run.sh): call once per host before
+    create_mesh; jax.devices() then spans all hosts, with ICI inside a
+    slice and DCN across. No-ops on a single process with no coordinator
+    (e.g. unit tests / single-chip dev)."""
+    if coordinator is None and num_processes is None:
+        return
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )

@@ -138,3 +138,53 @@ def resize_square(
     if arr.ndim == 2:
         arr = np.stack([arr] * 3, axis=-1)
     return normalize(arr, mean, std)
+
+
+class KeepAspectResize:
+    """DPT-style host resize policy (reference: utils.py:200-368): target
+    (width, height) with keep-aspect option, size constrained to a
+    multiple of `ensure_multiple_of`, and 'lower_bound' / 'upper_bound' /
+    'minimal' resize methods."""
+
+    def __init__(self, width: int, height: int, keep_aspect: bool = True,
+                 ensure_multiple_of: int = 32,
+                 resize_method: str = "lower_bound"):
+        self.w, self.h = width, height
+        self.keep_aspect = keep_aspect
+        self.m = ensure_multiple_of
+        self.method = resize_method
+
+    def _mult(self, x: float, min_val: int = 0, max_val=None) -> int:
+        y = int(np.round(x / self.m) * self.m)
+        if max_val is not None and y > max_val:
+            y = int(np.floor(x / self.m) * self.m)
+        if y < min_val:
+            y = int(np.ceil(x / self.m) * self.m)
+        return y
+
+    def get_size(self, width: int, height: int) -> Tuple[int, int]:
+        sw, sh = self.w / width, self.h / height
+        if self.keep_aspect:
+            if self.method == "lower_bound":
+                s = max(sw, sh)
+            elif self.method == "upper_bound":
+                s = min(sw, sh)
+            elif self.method == "minimal":
+                s = sh if abs(1 - sh) < abs(1 - sw) else sw
+            else:
+                raise ValueError(self.method)
+            sw = sh = s
+        if self.method == "lower_bound":
+            oh = self._mult(sh * height, min_val=self.h)
+            ow = self._mult(sw * width, min_val=self.w)
+        elif self.method == "upper_bound":
+            oh = self._mult(sh * height, max_val=self.h)
+            ow = self._mult(sw * width, max_val=self.w)
+        else:
+            oh = self._mult(sh * height)
+            ow = self._mult(sw * width)
+        return ow, oh
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        ow, oh = self.get_size(*img.size)
+        return pil_resize(img, (oh, ow), is_mask=False)

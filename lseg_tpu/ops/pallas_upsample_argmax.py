@@ -6,9 +6,10 @@ crop resolution and the caller argmaxes it
 lseg_app.py argmax). Done naively this materializes an
 (N, 2H, 2W, K) fp32 tensor (221 MB per 480-crop at K=150) just to
 immediately reduce it. This kernel streams row tiles: each grid step
-DMAs a small input slab + the matching rows of the 1-D interpolation
-operators out of HBM, forms the upsampled tile in VMEM via two MXU
-matmuls, argmaxes over K in-register, and writes only the int32 label
+DMAs a small input slab out of HBM, builds the row-interpolation
+weights in-register from iota (align_corners ×2: src = o·(H−1)/(2H−1),
+two taps with weight 1−|src−i|), forms the upsampled tile in VMEM via
+two MXU matmuls, argmaxes over K, and writes only the int32 label
 tile — the full-resolution logits never exist in HBM.
 
 Serving path: `fused_correlate` (pallas_correlation.py) -> this kernel.
@@ -28,8 +29,7 @@ from lseg_tpu.ops.resize import _interp_matrix
 
 
 def _kernel(
-    logits_hbm, ah_hbm, aw_ref, out_ref,
-    in_scratch, ah_scratch, sems,
+    logits_hbm, aw_ref, out_ref, in_scratch, sem,
     *, h: int, w: int, k: int, kp: int, tile_o: int, tile_i: int,
 ):
     n_idx = pl.program_id(0)
@@ -42,20 +42,22 @@ def _kernel(
         (ob * (h - 1)) // (2 * h - 1), jnp.int32(max(h - tile_i, 0))
     )
 
-    in_dma = pltpu.make_async_copy(
-        logits_hbm.at[n_idx, pl.ds(ib, tile_i)], in_scratch, sems.at[0]
+    dma = pltpu.make_async_copy(
+        logits_hbm.at[n_idx, pl.ds(ib, tile_i)], in_scratch, sem
     )
-    ah_dma = pltpu.make_async_copy(
-        ah_hbm.at[pl.ds(ob, tile_o), pl.ds(ib, tile_i)],
-        ah_scratch, sems.at[1],
-    )
-    in_dma.start()
-    ah_dma.start()
-    in_dma.wait()
-    ah_dma.wait()
+    dma.start()
 
+    # row-interpolation operator (tile_o, tile_i), built in-register:
+    # out row ob+j samples src = (ob+j)(h-1)/(2h-1); its two taps are
+    # floor(src), floor(src)+1 with triangle weights relu(1 - |src - i|)
+    ratio = jnp.float32(h - 1) / jnp.float32(2 * h - 1)
+    jo = jax.lax.broadcasted_iota(jnp.float32, (tile_o, tile_i), 0)
+    ii = jax.lax.broadcasted_iota(jnp.float32, (tile_o, tile_i), 1)
+    src = (jnp.float32(ob) + jo) * ratio - ib.astype(jnp.float32)
+    ah = jnp.maximum(0.0, 1.0 - jnp.abs(src - ii))
+
+    dma.wait()
     slab = in_scratch[:].astype(jnp.float32)        # (tile_i, w, kp)
-    ah = ah_scratch[:].astype(jnp.float32)          # (tile_o, tile_i)
     aw = aw_ref[:].astype(jnp.float32)              # (2w, w)
 
     rows = jax.lax.dot_general(                     # (tile_o, w*kp)
@@ -90,11 +92,8 @@ def upsample2x_argmax(
     kp = -(-k // 128) * 128
     if kp != k:
         logits = jnp.pad(logits, ((0, 0), (0, 0), (0, 0), (0, kp - k)))
-    tile_i = tile_o // 2 + 2
+    tile_i = min(tile_o // 2 + 2, h)
     n_tiles = -(-oh // tile_o)
-
-    ah = np.zeros((n_tiles * tile_o, h), np.float32)
-    ah[:oh] = _interp_matrix(h, oh, True)
     aw = np.asarray(_interp_matrix(w, ow, True))
 
     out = pl.pallas_call(
@@ -104,7 +103,6 @@ def upsample2x_argmax(
         grid=(n, n_tiles),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),      # logits stay in HBM
-            pl.BlockSpec(memory_space=pl.ANY),      # Ah rows DMA'd per tile
             pl.BlockSpec((ow, w), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -114,9 +112,8 @@ def upsample2x_argmax(
                                        jnp.int32),
         scratch_shapes=[
             pltpu.VMEM((tile_i, w, kp), logits.dtype),
-            pltpu.VMEM((tile_o, tile_i), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA(()),
         ],
         interpret=interpret,
-    )(logits, jnp.asarray(ah), jnp.asarray(aw))
+    )(logits, jnp.asarray(aw))
     return out[:, :oh]

@@ -417,3 +417,91 @@ def load_reference_checkpoint(
     text_variables)."""
     sd = extract_state_dict(load_torch_file(path))
     return convert_lseg(sd, cfg), convert_clip_text(sd)
+
+
+def convert_clip_visual_to_vit(
+    sd: Dict[str, np.ndarray], cfg: LSegConfig,
+    prefix: str = "clip_pretrained.visual",
+) -> Dict[str, Any]:
+    """CLIP visual-tower weights -> DenseViT tree (the reference's
+    'clip'/'clip_fixed' transplant init, lseg_vit_zs.py:661-715):
+    class_embedding -> cls_token, conv1 -> patch_embed (bias zero — CLIP
+    conv1 has no bias), in_proj -> qkv, ln_1/ln_2 -> norm1/norm2,
+    mlp c_fc/c_proj -> fc1/fc2. The position embedding transplants too
+    when the grids agree; otherwise the timm init stays (the reference
+    leaves pos_embed at timm init as well)."""
+    vit = cfg.vit
+    d = vit.embed_dim
+
+    def ln(key):
+        return {"scale": sd[f"{key}.weight"].astype(np.float32),
+                "bias": sd[f"{key}.bias"].astype(np.float32)}
+
+    def block(i):
+        key = f"{prefix}.transformer.resblocks.{i}"
+        return {
+            "norm1": ln(f"{key}.ln_1"),
+            "attn": {
+                "qkv": {
+                    "kernel": sd[f"{key}.attn.in_proj_weight"].T
+                    .astype(np.float32),
+                    "bias": sd[f"{key}.attn.in_proj_bias"]
+                    .astype(np.float32),
+                },
+                "proj": _lin(sd, f"{key}.attn.out_proj"),
+            },
+            "norm2": ln(f"{key}.ln_2"),
+            "mlp": {"fc1": _lin(sd, f"{key}.mlp.c_fc"),
+                    "fc2": _lin(sd, f"{key}.mlp.c_proj")},
+        }
+
+    tree: Dict[str, Any] = {
+        "cls_token": sd[f"{prefix}.class_embedding"]
+        .reshape(1, 1, d).astype(np.float32),
+        "patch_embed": {
+            "kernel": sd[f"{prefix}.conv1.weight"]
+            .transpose(2, 3, 1, 0).astype(np.float32),
+            "bias": np.zeros((d,), np.float32),
+        },
+    }
+    pos = sd.get(f"{prefix}.positional_embedding")
+    if pos is not None and pos.shape[0] == 1 + vit.pretrain_grid ** 2:
+        tree["pos_embed"] = pos[None].astype(np.float32)
+    prev = -1
+    for s, hook in enumerate(vit.hooks):
+        blocks = [block(i) for i in range(prev + 1, hook + 1)]
+        tree[f"seg{s}"] = {"blocks": _stack(blocks)}
+        prev = hook
+    return tree
+
+
+def convert_torchvision_resnet(
+    sd: Dict[str, np.ndarray], layers: Tuple[int, ...] = (3, 4, 23, 3),
+    prefix: str = "",
+) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    """torchvision resnet50/101 state_dict (bare naming: conv1, bn1,
+    layer{1..4}.{b}.*) -> ResNetBackbone (params, batch_stats). Feeds
+    the HSNet frozen backbone (reference: fewshot_data/model/hsnet.py
+    loads torchvision resnet)."""
+    p = prefix
+    params: Dict[str, Any] = {"conv1": _conv(sd, f"{p}conv1", bias=False)}
+    stats: Dict[str, Any] = {}
+    pb, sb = _bn(sd, f"{p}bn1")
+    params["bn1"], stats["bn1"] = pb, sb
+    for stage in range(4):
+        for b in range(layers[stage]):
+            key = f"{p}layer{stage + 1}.{b}"
+            bp: Dict[str, Any] = {}
+            bs: Dict[str, Any] = {}
+            for ci in (1, 2, 3):
+                bp[f"conv{ci}"] = _conv(sd, f"{key}.conv{ci}", bias=False)
+                pbn, sbn = _bn(sd, f"{key}.bn{ci}")
+                bp[f"bn{ci}"], bs[f"bn{ci}"] = pbn, sbn
+            if f"{key}.downsample.0.weight" in sd:
+                bp["down_conv"] = _conv(sd, f"{key}.downsample.0",
+                                        bias=False)
+                pbn, sbn = _bn(sd, f"{key}.downsample.1")
+                bp["down_bn"], bs["down_bn"] = pbn, sbn
+            params[f"layer{stage + 1}_block{b}"] = bp
+            stats[f"layer{stage + 1}_block{b}"] = bs
+    return params, stats

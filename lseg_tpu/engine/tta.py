@@ -180,13 +180,21 @@ def build_pyramid(
 # Device program A: crop scan -> per-scale canvases
 # ---------------------------------------------------------------------------
 
-def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int):
+def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
+                     crops_per_step: int = 4):
     """Build the jit'd crop-scan program.
     `apply_fn(images, text_features) -> logits` maps
     (B, crop, crop, 3) -> (B, crop, crop, K); text_features is a traced
-    argument so label-set swaps (same K) reuse the compile."""
+    argument so label-set swaps (same K) reuse the compile.
+
+    Crops are processed `crops_per_step` at a time — the forward runs at
+    batch 2*crops_per_step (crop + hflip) for MXU utilization. The
+    planner packs valid slots first, so all-padding chunks are skipped
+    whole by `lax.cond` (scan is sequential: the skip is real); partial
+    chunks mask the padding slots' contributions to zero."""
     crop = proto.crop_size
     n_scales = len(proto.scales)
+    g = crops_per_step
 
     def run(pyramid, crop_meta, text_features):
         canvases = tuple(
@@ -197,60 +205,70 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int):
             jnp.zeros((P, P, 1), jnp.float32)
             for P in proto.canvas_sizes
         )
+        chunked = crop_meta.reshape(-1, g, 4)
 
-        def step(carry, meta):
-            canvases, counts = carry
-            s, y0, x0, valid = meta[0], meta[1], meta[2], meta[3]
+        def grab_one(meta):
+            s, y0, x0 = meta[0], meta[1], meta[2]
 
-            def do(operands):
-                canvases, counts = operands
+            def grab(i):
+                return lambda: jax.lax.dynamic_slice(
+                    pyramid[i], (y0, x0, 0), (crop, crop, 3)
+                )
 
-                def grab(i):
-                    return lambda: jax.lax.dynamic_slice(
-                        pyramid[i], (y0, x0, 0), (crop, crop, 3)
-                    )
+            return jax.lax.switch(s, [grab(i) for i in range(n_scales)])
 
-                patch = jax.lax.switch(s, [grab(i) for i in range(n_scales)])
-                batch = jnp.stack([patch, patch[:, ::-1, :]], axis=0)
+        def step(carry, metas):  # metas: (g, 4)
+            def do(carry):
+                canvases, counts = carry
+                patches = jnp.stack(
+                    [grab_one(metas[j]) for j in range(g)], axis=0
+                )
+                batch = jnp.concatenate(
+                    [patches, patches[:, :, ::-1, :]], axis=0
+                )
                 logits = apply_fn(batch, text_features).astype(jnp.float32)
-                combined = logits[0] + logits[1][:, ::-1, :]
+                combined = logits[:g] + logits[g:][:, :, ::-1, :]
 
-                def add(i):
-                    def f():
-                        c = jax.lax.dynamic_slice(
-                            canvases[i], (y0, x0, 0),
-                            (crop, crop, num_classes),
-                        )
-                        n = jax.lax.dynamic_slice(
-                            counts[i], (y0, x0, 0), (crop, crop, 1)
-                        )
-                        new_c = jax.lax.dynamic_update_slice(
-                            canvases[i], c + combined, (y0, x0, 0)
-                        )
-                        new_n = jax.lax.dynamic_update_slice(
-                            counts[i], n + 1.0, (y0, x0, 0)
-                        )
-                        return (
-                            tuple(
-                                new_c if j == i else canvases[j]
-                                for j in range(n_scales)
-                            ),
-                            tuple(
-                                new_n if j == i else counts[j]
-                                for j in range(n_scales)
-                            ),
-                        )
-                    return f
+                for j in range(g):
+                    s, y0, x0 = metas[j, 0], metas[j, 1], metas[j, 2]
+                    w = (metas[j, 3] > 0).astype(jnp.float32)
+                    contrib = combined[j] * w
 
-                return jax.lax.switch(s, [add(i) for i in range(n_scales)])
+                    def add(i):
+                        def f():
+                            c = jax.lax.dynamic_slice(
+                                canvases[i], (y0, x0, 0),
+                                (crop, crop, num_classes),
+                            )
+                            n = jax.lax.dynamic_slice(
+                                counts[i], (y0, x0, 0), (crop, crop, 1)
+                            )
+                            new_c = jax.lax.dynamic_update_slice(
+                                canvases[i], c + contrib, (y0, x0, 0)
+                            )
+                            new_n = jax.lax.dynamic_update_slice(
+                                counts[i], n + w, (y0, x0, 0)
+                            )
+                            return (
+                                tuple(new_c if jj == i else canvases[jj]
+                                      for jj in range(n_scales)),
+                                tuple(new_n if jj == i else counts[jj]
+                                      for jj in range(n_scales)),
+                            )
+                        return f
 
-            canvases, counts = jax.lax.cond(
-                valid > 0, do, lambda op: op, (canvases, counts)
+                    canvases, counts = jax.lax.switch(
+                        s, [add(i) for i in range(n_scales)]
+                    )
+                return canvases, counts
+
+            carry = jax.lax.cond(
+                jnp.any(metas[:, 3] > 0), do, lambda c: c, carry
             )
-            return (canvases, counts), None
+            return carry, None
 
         (canvases, counts), _ = jax.lax.scan(
-            step, (canvases, counts), crop_meta
+            step, (canvases, counts), chunked
         )
         return tuple(
             c / jnp.maximum(n, 1.0) for c, n in zip(canvases, counts)
@@ -298,10 +316,12 @@ class MultiScaleEvaluator:
         num_classes: int,
         proto: TTAProtocol = TTAProtocol(),
         bucket_step: int = 64,
+        crops_per_step: int = 4,
     ):
         self.proto = proto
         self.num_classes = num_classes
         self.bucket_step = bucket_step
+        self.crops_per_step = crops_per_step
         self._apply_fn = apply_fn
         self._plans: Dict[Tuple[int, int], TTAPlan] = {}
         self._accumulate = None
@@ -323,10 +343,18 @@ class MultiScaleEvaluator:
         ]
         if self._accumulate is None:
             self._accumulate = _make_accumulate(
-                self.proto, self._apply_fn, self.num_classes
+                self.proto, self._apply_fn, self.num_classes,
+                self.crops_per_step,
+            )
+        crops = plan.crops
+        g = self.crops_per_step
+        if len(crops) % g:
+            crops = np.concatenate(
+                [crops,
+                 np.zeros((g - len(crops) % g, 4), crops.dtype)], axis=0
             )
         canvases = self._accumulate(
-            tuple(pyramid), jnp.asarray(plan.crops), text_features
+            tuple(pyramid), jnp.asarray(crops), text_features
         )
         return canvases, plan
 

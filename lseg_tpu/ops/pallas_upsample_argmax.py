@@ -51,8 +51,12 @@ def _kernel(
     # out row ob+j samples src = (ob+j)(h-1)/(2h-1); its two taps are
     # floor(src), floor(src)+1 with triangle weights relu(1 - |src - i|)
     ratio = jnp.float32(h - 1) / jnp.float32(2 * h - 1)
-    jo = jax.lax.broadcasted_iota(jnp.float32, (tile_o, tile_i), 0)
-    ii = jax.lax.broadcasted_iota(jnp.float32, (tile_o, tile_i), 1)
+    jo = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_o, tile_i), 0
+    ).astype(jnp.float32)
+    ii = jax.lax.broadcasted_iota(
+        jnp.int32, (tile_o, tile_i), 1
+    ).astype(jnp.float32)
     src = (jnp.float32(ob) + jo) * ratio - ib.astype(jnp.float32)
     ah = jnp.maximum(0.0, 1.0 - jnp.abs(src - ii))
 

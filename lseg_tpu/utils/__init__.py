@@ -1,0 +1,2 @@
+from lseg_tpu.utils.logging import Logger  # noqa: F401
+from lseg_tpu.utils.palette import class_palette, colorize, overlay  # noqa: F401

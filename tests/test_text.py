@@ -100,3 +100,19 @@ def test_text_cache_hits_and_shapes():
     assert f1 is f2  # cache hit returns the same array
     pair = cache.pair_features("cat")
     assert pair.shape == (2, TINY_TEXT.embed_dim)
+
+
+def test_logger(tmp_path):
+    from lseg_tpu.utils.logging import Logger
+
+    lg = Logger(str(tmp_path), name="t")
+    lg.info("hello")
+    saved = []
+    assert lg.save_model_miou(lambda p: saved.append(p), 0, 50.0)
+    assert not lg.save_model_miou(lambda p: saved.append(p), 1, 40.0)
+    assert lg.save_model_miou(lambda p: saved.append(p), 2, 60.0)
+    assert len(saved) == 2
+    log = (tmp_path / "t" / "log.txt").read_text()
+    assert "hello" in log
+    assert Logger.count_params({"a": np.zeros((2, 3)),
+                                "b": {"c": np.zeros(5)}}) == 11

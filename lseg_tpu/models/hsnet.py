@@ -158,15 +158,20 @@ class HPNLearner(nn.Module):
 
 
 class HSNet(nn.Module):
-    """Full network: frozen ResNet per-bottleneck taps -> masked support
-    features -> hypercorrelation pyramid -> HPN learner -> full-res
-    binary logits (reference: hsnet.py:16-66)."""
+    """Full network: frozen backbone per-bottleneck taps -> masked
+    support features -> hypercorrelation pyramid -> HPN learner ->
+    full-res binary logits (reference: hsnet.py:16-66). Backbones:
+    'resnet' (50/101 via cfg.layers) or 'vgg16' (reference
+    hsnet.py:24-28, pyramid groups (1, 3, 3))."""
 
     resnet: ResNetConfig = ResNetConfig()  # (3, 4, 23, 3) = resnet101
+    backbone: str = "resnet"
     dtype: Any = jnp.float32
 
     @property
     def stack_sizes(self) -> Tuple[int, int, int]:
+        if self.backbone == "vgg16":
+            return (1, 3, 3)
         l = self.resnet.layers
         return (l[3], l[2], l[1])
 
@@ -177,16 +182,23 @@ class HSNet(nn.Module):
         support_img: jnp.ndarray,   # (B, H, W, 3)
         support_mask: jnp.ndarray,  # (B, H, W) {0,1}
     ) -> jnp.ndarray:
-        backbone = ResNetBackbone(
-            self.resnet, dtype=self.dtype, all_taps=True, name="backbone"
-        )
-        q_taps = backbone(query_img)
-        s_taps = backbone(support_img)
+        if self.backbone == "vgg16":
+            from lseg_tpu.models.vgg import VGG16Features
 
-        # taps used: layers 2..4 only (feat_ids skips layer1,
-        # reference hsnet.py:34-37 feat_ids=range(4, 34))
-        skip = self.resnet.layers[0]
-        q_taps, s_taps = q_taps[skip:], s_taps[skip:]
+            net = VGG16Features(dtype=self.dtype, name="backbone")
+            q_taps = net(query_img)
+            s_taps = net(support_img)
+        else:
+            net = ResNetBackbone(
+                self.resnet, dtype=self.dtype, all_taps=True,
+                name="backbone",
+            )
+            q_taps = net(query_img)
+            s_taps = net(support_img)
+            # taps used: layers 2..4 only (feat_ids skips layer1,
+            # reference hsnet.py:34-37 feat_ids=range(4, 34))
+            skip = self.resnet.layers[0]
+            q_taps, s_taps = q_taps[skip:], s_taps[skip:]
 
         # mask support features with the bilinearly-resized mask
         # (reference hsnet.py:62-66, align_corners=True)

@@ -98,3 +98,71 @@ def test_hsnet_forward_and_nshot():
     pred = predict_mask_nshot(apply_fn, batch, nshot=2)
     assert pred.shape == (1, 32, 32)
     assert set(np.unique(np.asarray(pred))) <= {0, 1}
+
+
+def test_vgg16_taps_and_hsnet():
+    import torch
+    import torch.nn.functional as F
+
+    from lseg_tpu.models.vgg import (
+        VGG16Features, convert_torchvision_vgg16, HSNET_VGG_TAPS,
+        _VGG16_LAYOUT,
+    )
+
+    # build a torchvision-shaped features state_dict by hand
+    rng = np.random.RandomState(0)
+    sd = {}
+    idx, cin = 0, 3
+    for item in _VGG16_LAYOUT:
+        if item == "M":
+            idx += 1
+            continue
+        sd[f"features.{idx}.weight"] = (
+            rng.randn(item, cin, 3, 3).astype(np.float32) * 0.05
+        )
+        sd[f"features.{idx}.bias"] = (
+            rng.randn(item).astype(np.float32) * 0.05
+        )
+        cin = item
+        idx += 2
+    params = convert_torchvision_vgg16(sd)
+    model = VGG16Features()
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    taps = model.apply({"params": params}, x)
+    assert len(taps) == len(HSNET_VGG_TAPS)
+    # strides 8, 8, 8, 16, 16, 16, 32
+    assert [t.shape[1] for t in taps] == [8, 8, 8, 4, 4, 4, 2]
+
+    # numeric parity against a functional torch replica of the layout
+    y = torch.from_numpy(np.asarray(x).transpose(0, 3, 1, 2))
+    feats = []
+    idx = 0
+    for item in _VGG16_LAYOUT:
+        if item == "M":
+            y = F.max_pool2d(y, 2, 2)
+            if idx in HSNET_VGG_TAPS:
+                feats.append(y.numpy().transpose(0, 2, 3, 1))
+            idx += 1
+        else:
+            y = F.conv2d(
+                y, torch.from_numpy(sd[f"features.{idx}.weight"]),
+                torch.from_numpy(sd[f"features.{idx}.bias"]), padding=1,
+            )
+            if idx in HSNET_VGG_TAPS:
+                feats.append(y.numpy().transpose(0, 2, 3, 1))
+            idx += 1
+            y = F.relu(y)
+            if idx in HSNET_VGG_TAPS:
+                feats.append(y.numpy().transpose(0, 2, 3, 1))
+            idx += 1
+    for ours, ref in zip(taps, feats):
+        np.testing.assert_allclose(np.asarray(ours), ref,
+                                   rtol=1e-4, atol=1e-4)
+
+    # HSNet with the vgg backbone runs end to end
+    net = HSNet(backbone="vgg16")
+    q = jnp.zeros((1, 32, 32, 3))
+    m = jnp.ones((1, 32, 32), jnp.int32)
+    variables = net.init(jax.random.PRNGKey(0), q, q, m)
+    out = net.apply(variables, q, q, m)
+    assert out.shape == (1, 32, 32, 2)

@@ -11,6 +11,7 @@ checkpoints, and CSV/stdout logging.
 from __future__ import annotations
 
 import os
+import signal
 import time
 from dataclasses import dataclass
 from typing import Callable, Optional
@@ -75,6 +76,22 @@ def fit(
             log(f"resumed from step {int(state.step)} "
                 f"(epoch {start_epoch})")
 
+    # Preemption handling (the reference's SLURM USR1 requeue trap,
+    # fewshot_data/sbatch_run.sh): on SIGTERM/SIGUSR1, finish the
+    # current epoch's checkpoint and exit cleanly so the job can resume.
+    stop_requested = {"flag": False}
+
+    def _request_stop(signum, frame):
+        stop_requested["flag"] = True
+        log(f"signal {signum}: will checkpoint and stop")
+
+    prev_handlers = {}
+    for sig in (signal.SIGTERM, signal.SIGUSR1):
+        try:
+            prev_handlers[sig] = signal.signal(sig, _request_stop)
+        except (ValueError, OSError):  # non-main thread
+            pass
+
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.time()
         running = {"loss": 0.0, "correct": 0.0, "labeled": 0.0}
@@ -125,6 +142,11 @@ def fit(
             ckpt.save(int(state.step), state, {})
 
         csv.log(row)
+        if stop_requested["flag"]:
+            log(f"stopping after epoch {epoch} (preemption)")
+            break
 
+    for sig, h in prev_handlers.items():
+        signal.signal(sig, h)
     ckpt.wait()
     return state

@@ -130,6 +130,18 @@ def main():
     from lseg_tpu.train.loop import FitConfig, fit
 
     train_ds, val_ds, labels = build_dataset(args)
+    if args.dry_run:
+        # overfit mode: train repeatedly on ONE batch (the reference's
+        # --dry-run -> overfit_batches, utils.py:24-26,62-67)
+        class _Overfit:
+            def __len__(self):
+                return args.batch_size
+
+            def __getitem__(self, i):
+                return train_ds[i % args.batch_size]
+
+        train_ds = _Overfit()
+        val_ds = None
 
     if args.dataset == "synthetic":
         from lseg_tpu.testing import tiny_vit_config
@@ -179,13 +191,15 @@ def main():
         train_ds, args.batch_size, shuffle=True,
         num_workers=args.num_workers, sharding=bsh,
     )
-    val_loader = DataLoader(
-        val_ds, args.batch_size, shuffle=False,
-        num_workers=args.num_workers, sharding=bsh,
-    )
+    val_loader = None
+    if val_ds is not None:
+        val_loader = DataLoader(
+            val_ds, args.batch_size, shuffle=False,
+            num_workers=args.num_workers, sharding=bsh,
+        )
 
     fit_cfg = FitConfig(
-        max_epochs=args.max_epochs if not args.dry_run else 1,
+        max_epochs=args.max_epochs if not args.dry_run else 10,
         ignore_index=args.ignore_index,
         accumulate=args.accumulate_grad_batches,
         ckpt_dir=f"{args.ckpt_root}/{args.exp_name}",

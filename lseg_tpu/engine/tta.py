@@ -381,3 +381,13 @@ class MultiScaleEvaluator:
         fn = self._assemble_logits if return_logits else self._assemble_argmax
         out = fn(canvases, mats_h, mats_w)
         return np.asarray(out)[:h, :w]
+
+
+# Dataset protocol presets (reference: test_lseg.py:308-316 — cityscapes
+# uses base 2048 / crop 768 and a shifted scale ladder).
+ADE20K_PROTOCOL = TTAProtocol()
+CITYSCAPES_PROTOCOL = TTAProtocol(
+    base_size=2048,
+    crop_size=768,
+    scales=(0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25),
+)

@@ -402,7 +402,9 @@ def convert_clip_text(
             .astype(np.float32),
             "positional_embedding": sd[f"{base}.positional_embedding"]
             .astype(np.float32),
-            "resblocks": {"blocks": _stack(blocks)},
+            # the scan module is named 'resblocks', so the stacked block
+            # params sit directly under it
+            "resblocks": _stack(blocks),
             "ln_final": _ln(sd, f"{base}.ln_final"),
             "text_projection": sd[f"{base}.text_projection"]
             .astype(np.float32),

@@ -200,3 +200,50 @@ def test_palette():
     img = np.zeros((2, 2, 3), np.uint8)
     out = overlay(img, mask, pal, alpha=0.5)
     np.testing.assert_array_equal(out[0, 1], [64, 0, 0])
+
+
+def test_convert_clip_text_structure_and_run():
+    from lseg_tpu.models.clip_text import CLIPTextEncoder
+    from lseg_tpu.testing import TINY_TEXT
+    from lseg_tpu.utils.checkpoint_convert import convert_clip_text
+
+    cfg = TINY_TEXT
+    rng = np.random.RandomState(0)
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.05
+
+    sd = {
+        "clip_pretrained.token_embedding.weight": t(cfg.vocab_size,
+                                                    cfg.width),
+        "clip_pretrained.positional_embedding": t(cfg.context_length,
+                                                  cfg.width),
+        "clip_pretrained.ln_final.weight": t(cfg.width),
+        "clip_pretrained.ln_final.bias": t(cfg.width),
+        "clip_pretrained.text_projection": t(cfg.width, cfg.embed_dim),
+    }
+    for i in range(cfg.layers):
+        k = f"clip_pretrained.transformer.resblocks.{i}"
+        sd[f"{k}.ln_1.weight"] = t(cfg.width)
+        sd[f"{k}.ln_1.bias"] = t(cfg.width)
+        sd[f"{k}.attn.in_proj_weight"] = t(3 * cfg.width, cfg.width)
+        sd[f"{k}.attn.in_proj_bias"] = t(3 * cfg.width)
+        sd[f"{k}.attn.out_proj.weight"] = t(cfg.width, cfg.width)
+        sd[f"{k}.attn.out_proj.bias"] = t(cfg.width)
+        sd[f"{k}.ln_2.weight"] = t(cfg.width)
+        sd[f"{k}.ln_2.bias"] = t(cfg.width)
+        sd[f"{k}.mlp.c_fc.weight"] = t(4 * cfg.width, cfg.width)
+        sd[f"{k}.mlp.c_fc.bias"] = t(4 * cfg.width)
+        sd[f"{k}.mlp.c_proj.weight"] = t(cfg.width, 4 * cfg.width)
+        sd[f"{k}.mlp.c_proj.bias"] = t(cfg.width)
+    converted = convert_clip_text(sd)
+
+    enc = CLIPTextEncoder(cfg)
+    tokens = jnp.zeros((2, cfg.context_length), jnp.int32).at[:, 1].set(5)
+    init_vars = enc.init(jax.random.PRNGKey(0), tokens)
+    ref_shapes = jax.tree_util.tree_map(lambda a: a.shape, init_vars)
+    got_shapes = jax.tree_util.tree_map(lambda a: a.shape, converted)
+    assert ref_shapes == got_shapes
+    out = enc.apply(converted, tokens)
+    assert out.shape == (2, cfg.embed_dim)
+    assert np.isfinite(np.asarray(out)).all()

@@ -42,6 +42,9 @@ class ViTConfig:
     # attention implementation: 'xla' einsums or 'flash' (Pallas TPU
     # flash-attention kernel; identical math, VMEM-tiled softmax)
     attn_impl: str = "xla"
+    # 'float32' (safe default) or 'bfloat16' — dtype of the attention
+    # score matrix; bf16 halves its HBM stream
+    attn_scores_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -73,6 +73,11 @@ class Attention(nn.Module):
     num_heads: int
     dtype: Any = jnp.float32
     impl: str = "xla"
+    # dtype of the (B, H, T, T) score matrix. float32 is the safe
+    # default; bfloat16 halves the dominant HBM stream through the
+    # softmax (softmax itself still reduces in fp32 via jax.nn.softmax's
+    # internal upcast of max/sum on bf16 inputs).
+    scores_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -88,8 +93,8 @@ class Attention(nn.Module):
         else:
             attn = jnp.einsum(
                 "nqhd,nkhd->nhqk", q, k,
-                preferred_element_type=jnp.float32,
-            ) * scale
+                preferred_element_type=self.scores_dtype,
+            ) * jnp.asarray(scale, self.scores_dtype)
             attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
             out = jnp.einsum(
                 "nhqk,nkhd->nqhd", attn, v,
@@ -122,12 +127,14 @@ class Block(nn.Module):
     mlp_ratio: float
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
+    attn_scores_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.dtype,
-                          self.attn_impl, name="attn")(y)
+                          self.attn_impl, self.attn_scores_dtype,
+                          name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
                     name="mlp")(y)
@@ -148,6 +155,7 @@ class BlockStack(nn.Module):
     dtype: Any = jnp.float32
     remat: bool = False
     attn_impl: str = "xla"
+    attn_scores_dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -165,6 +173,7 @@ class BlockStack(nn.Module):
             mlp_ratio=self.mlp_ratio,
             dtype=self.dtype,
             attn_impl=self.attn_impl,
+            attn_scores_dtype=self.attn_scores_dtype,
             name="blocks",
         )(x, None)
         return x
@@ -241,6 +250,10 @@ class DenseViT(nn.Module):
                 dtype=self.dtype,
                 remat=self.remat,
                 attn_impl=cfg.attn_impl,
+                attn_scores_dtype=(
+                    jnp.bfloat16 if cfg.attn_scores_dtype == "bfloat16"
+                    else jnp.float32
+                ),
                 name=f"seg{i}",
             )(x)
             taps.append(x)

@@ -1,0 +1,67 @@
+"""Utility coverage: raw params export/import round-trip, DPT-style
+KeepAspectResize policies, protocol presets, StepTimer."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from lseg_tpu.data.transforms import KeepAspectResize
+from lseg_tpu.engine.tta import CITYSCAPES_PROTOCOL, TTAProtocol, make_plan
+from lseg_tpu.train.checkpoint import export_params, import_params
+
+
+def test_export_import_roundtrip(tmp_path):
+    class S:
+        params = {"a": np.arange(6, dtype=np.float32).reshape(2, 3),
+                  "b": {"c": np.ones(4, np.float32)}}
+        batch_stats = {"bn": {"mean": np.zeros(3, np.float32)}}
+
+    path = str(tmp_path / "params.npz")
+    export_params(path, S())
+    back = import_params(path)
+    np.testing.assert_array_equal(back["params"]["a"], S.params["a"])
+    np.testing.assert_array_equal(
+        back["params"]["b"]["c"], S.params["b"]["c"]
+    )
+    np.testing.assert_array_equal(
+        back["batch_stats"]["bn"]["mean"],
+        S.batch_stats["bn"]["mean"],
+    )
+
+
+def test_keep_aspect_resize_modes():
+    # lower_bound: both dims >= target, multiple of 32
+    r = KeepAspectResize(480, 480, resize_method="lower_bound")
+    ow, oh = r.get_size(640, 427)
+    assert oh >= 480 and ow % 32 == 0 and oh % 32 == 0
+    # upper_bound: both dims <= target
+    r = KeepAspectResize(480, 480, resize_method="upper_bound")
+    ow, oh = r.get_size(640, 427)
+    assert ow <= 480 and ow % 32 == 0
+    # callable resizes a PIL image
+    img = Image.new("RGB", (640, 427))
+    out = KeepAspectResize(480, 480)(img)
+    assert out.size[0] % 32 == 0 and out.size[1] % 32 == 0
+
+
+def test_cityscapes_protocol_plan():
+    p = CITYSCAPES_PROTOCOL
+    assert p.stride == 512
+    plan = make_plan(p, 1024, 2048)
+    assert plan.n_valid <= p.max_crops
+    # all windows in range for their canvases
+    for s, y0, x0, v in plan.crops[: plan.n_valid]:
+        assert 0 <= y0 <= p.canvas_sizes[s] - p.crop_size
+        assert 0 <= x0 <= p.canvas_sizes[s] - p.crop_size
+
+
+def test_step_timer():
+    from lseg_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=1)
+    x = jnp.ones((4,))
+    assert t.step(x) is None
+    assert t.step(x) is not None
+    assert t.mean > 0
+    assert t.throughput(8) > 0

@@ -21,7 +21,8 @@ def parse_args():
     p = argparse.ArgumentParser("lseg_tpu evaluator")
     p.add_argument("--dataset", default="ade20k")
     p.add_argument("--data_path", default="datasets")
-    p.add_argument("--label_dir", default="/root/reference/label_files")
+    p.add_argument("--label_dir", default=None,
+                   help="reference-format label_files dir (default: packaged lists)")
     p.add_argument("--weights", required=True)
     p.add_argument("--bpe_vocab", required=True)
     p.add_argument("--backbone", default="clip_vitl16_384")

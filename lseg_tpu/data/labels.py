@@ -30,9 +30,23 @@ def parse_label_list(path: str) -> List[str]:
         return [line.strip() for line in f if line.strip()]
 
 
-def get_labels(dataset: str, label_dir: str = "label_files") -> List[str]:
-    """Reference-compatible dispatch: 'ade20k' -> objectInfo150 CSV,
-    'pascal'/'coco'/'fss' -> fewshot lists."""
+_PACKAGED = os.path.join(os.path.dirname(__file__), "..", "label_files")
+
+
+def get_labels(dataset: str, label_dir: str = None) -> List[str]:
+    """Label list for a dataset. With no `label_dir`, the lists vendored
+    with the package are used (parsed once from the reference's
+    label_files data — plain one-name-per-line). An explicit `label_dir`
+    reads reference-format files from there instead."""
+    if label_dir is None:
+        path = os.path.join(
+            _PACKAGED,
+            "ade20k.txt" if dataset == "ade20k"
+            else f"fewshot_{dataset}.txt",
+        )
+        if os.path.exists(path):
+            return parse_label_list(path)
+        raise FileNotFoundError(f"no packaged label list for {dataset!r}")
     if dataset == "ade20k":
         return parse_object_info(
             os.path.join(label_dir, "ade20k_objectInfo150.txt"),

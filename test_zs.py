@@ -26,7 +26,8 @@ def parse_args():
     p.add_argument("--datapath", default="datasets")
     p.add_argument("--splits_dir",
                    default="/root/reference/fewshot_data/data/splits")
-    p.add_argument("--label_dir", default="/root/reference/label_files")
+    p.add_argument("--label_dir", default=None,
+                   help="reference-format label_files dir (default: packaged lists)")
     p.add_argument("--fold", type=int, default=0)
     p.add_argument("--nshot", type=int, default=0)
     p.add_argument("--backbone", default="clip_resnet101")

@@ -116,3 +116,13 @@ def test_logger(tmp_path):
     assert "hello" in log
     assert Logger.count_params({"a": np.zeros((2, 3)),
                                 "b": {"c": np.zeros(5)}}) == 11
+
+
+def test_packaged_labels():
+    from lseg_tpu.data.labels import get_labels
+
+    assert len(get_labels("ade20k")) == 150
+    assert get_labels("ade20k")[0] == "wall"
+    assert len(get_labels("pascal")) == 20
+    assert len(get_labels("coco")) == 80
+    assert len(get_labels("fss")) == 1000

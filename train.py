@@ -28,7 +28,8 @@ def parse_args():
     p.add_argument("--dataset", default="ade20k",
                    choices=["ade20k", "synthetic"])
     p.add_argument("--data_path", default="datasets")
-    p.add_argument("--label_dir", default="/root/reference/label_files")
+    p.add_argument("--label_dir", default=None,
+                   help="reference-format label_files dir (default: packaged lists)")
     p.add_argument("--batch_size", type=int, default=16)
     p.add_argument("--base_size", type=int, default=520)
     p.add_argument("--crop_size", type=int, default=480)

@@ -90,6 +90,9 @@ class Attention(nn.Module):
         scale = hd ** -0.5
         if self.impl == "flash":
             out = _flash_attention(q, k, v, scale, self.dtype)
+        elif self.impl == "dpa":
+            # XLA's fused attention path; (B, T, H, hd) layout native
+            out = jax.nn.dot_product_attention(q, k, v, scale=scale)
         else:
             attn = jnp.einsum(
                 "nqhd,nkhd->nhqk", q, k,

@@ -103,3 +103,25 @@ def test_train_mode_batch_stats():
         not np.allclose(a, b)
         for a, b in zip(leaves_before, leaves_after)
     )
+
+
+def test_attention_impls_agree():
+    """xla einsum vs jax.nn.dot_product_attention: same math."""
+    import dataclasses as dc
+
+    cfg = TINY_VIT
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 64, 64, 3).astype(np.float32)
+    )
+    txt = jnp.asarray(
+        np.random.RandomState(1).randn(3, cfg.out_c).astype(np.float32)
+    )
+    from lseg_tpu.models.lseg import LSegNet as _L
+
+    m1 = _L(cfg)
+    v = m1.init(jax.random.PRNGKey(0), x, txt)
+    cfg2 = dc.replace(cfg, vit=dc.replace(cfg.vit, attn_impl="dpa"))
+    m2 = _L(cfg2)
+    o1 = np.asarray(m1.apply(v, x, txt))
+    o2 = np.asarray(m2.apply(v, x, txt))
+    np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)

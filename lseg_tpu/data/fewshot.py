@@ -191,10 +191,10 @@ class DatasetCOCO(_FewshotBase):
         self.split = "val" if split in ("val", "test") else "trn"
         self.fold = fold
         self.nclass, self.nfolds = 80, 4
-        self.base_path = os.path.join(
-            datapath, "COCO2014",
-            "train2014" if self.split == "trn" else "val2014",
-        )
+        # names in the split pkl carry the split subdir
+        # ('val2014/COCO_val2014_....jpg'), so base is the COCO2014 root
+        # (reference coco.py:20-23)
+        self.base_path = os.path.join(datapath, "COCO2014")
         with open(os.path.join(
             splits_dir, "coco", self.split, f"fold{fold}.pkl"
         ), "rb") as f:
@@ -223,7 +223,8 @@ class DatasetCOCO(_FewshotBase):
                 supports.append(s)
 
         def mask_of(n):
-            p = os.path.join(self.base_path, "..", "annotations", n)
+            # reference coco.py:83-86: annotations/<name>.png
+            p = os.path.join(self.base_path, "annotations", n)
             p = p[: p.index(".jpg")] + ".png"
             return np.asarray(Image.open(p))
 

@@ -149,3 +149,49 @@ def test_episodic_evaluator_runs(tmp_path):
                       log=lambda *_: None)
     assert 0.0 <= miou <= 100.0
     assert 0.0 <= fb <= 100.0
+
+
+def test_coco_dataset(tmp_path):
+    """COCO-20i layout: COCO2014/{val2014,annotations/val2014}, names
+    carry the split subdir, episodes sampled per (seed, idx)."""
+    import pickle
+
+    from lseg_tpu.data.fewshot import DatasetCOCO
+
+    rng = np.random.RandomState(0)
+    base = tmp_path / "COCO2014"
+    (base / "val2014").mkdir(parents=True)
+    (base / "annotations" / "val2014").mkdir(parents=True)
+    classwise = {}
+    fold = 0
+    class_ids = [fold + 4 * v for v in range(3)]  # 0, 4, 8
+    for cid in class_ids:
+        names = []
+        for j in range(2):
+            name = f"val2014/COCO_val2014_c{cid}_{j}.jpg"
+            img = rng.randint(0, 255, (40, 50, 3), np.uint8)
+            Image.fromarray(img).save(base / name)
+            m = np.zeros((40, 50), np.uint8)
+            m[5:20, 5:30] = cid + 1
+            Image.fromarray(m).save(
+                base / "annotations" / (name[:-4] + ".png")
+            )
+            names.append(name)
+        classwise[cid] = names
+    splits = tmp_path / "splits" / "coco" / "val"
+    splits.mkdir(parents=True)
+    with open(splits / "fold0.pkl", "wb") as f:
+        pickle.dump(classwise, f)
+
+    ds = DatasetCOCO(str(tmp_path), fold=0, split="test", shot=1,
+                     splits_dir=str(tmp_path / "splits"), img_size=32)
+    ds.class_ids = class_ids  # tiny fixture has 3 of the 20 classes
+    assert len(ds) == 1000
+    ep = ds[0]
+    assert ep["query_img"].shape == (32, 32, 3)
+    assert set(np.unique(ep["query_mask"])) <= {0, 1}
+    assert int(ep["class_id"]) in class_ids
+    assert ep["support_imgs"].shape == (1, 32, 32, 3)
+    # seed-stable
+    np.testing.assert_array_equal(ds[3]["query_mask"],
+                                  ds[3]["query_mask"])

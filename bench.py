@@ -37,10 +37,20 @@ def main() -> None:
                       "/tmp/lseg_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+    import dataclasses
+
     from lseg_tpu.config import get_config
     from lseg_tpu.models.lseg import LSegNet
 
-    cfg = get_config("clip_vitl16_384")
+    # serving configuration: bf16 attention-score stream (A/B-measured
+    # 1.76x end-to-end on v5e vs fp32 scores; see CLAUDE.md — accuracy
+    # delta to be validated against a reference checkpoint)
+    base = get_config("clip_vitl16_384")
+    cfg = dataclasses.replace(
+        base, vit=dataclasses.replace(
+            base.vit, attn_scores_dtype="bfloat16"
+        ),
+    )
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     batch = 8

@@ -45,6 +45,9 @@ class ViTConfig:
     # 'float32' (safe default) or 'bfloat16' — dtype of the attention
     # score matrix; bf16 halves its HBM stream
     attn_scores_dtype: str = "float32"
+    # int8 dynamic-quant projections in attention/MLP (serving mode;
+    # v5e int8 MXU runs at 2x bf16 peak). Param tree is unchanged.
+    quant_int8: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

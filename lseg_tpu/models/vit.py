@@ -27,7 +27,15 @@ import jax
 import jax.numpy as jnp
 
 from lseg_tpu.config import ViTConfig
+from lseg_tpu.ops.quant import QuantDense
 from lseg_tpu.ops.resize import resize_bilinear
+
+
+def _dense(features, dtype, name, quant):
+    """nn.Dense or its int8 dynamic-quant drop-in (same param tree)."""
+    if quant:
+        return QuantDense(features, dtype=dtype, name=name)
+    return nn.Dense(features, dtype=dtype, name=name)
 
 
 def _flash_attention(q, k, v, scale, dtype):
@@ -78,13 +86,14 @@ class Attention(nn.Module):
     # softmax (softmax itself still reduces in fp32 via jax.nn.softmax's
     # internal upcast of max/sum on bf16 inputs).
     scores_dtype: Any = jnp.float32
+    quant: bool = False  # int8 dynamic-quant projections (serving)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
-        qkv = nn.Dense(3 * d, dtype=self.dtype, name="qkv")(x)
+        qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
         qkv = qkv.reshape(n, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
         scale = hd ** -0.5
@@ -104,7 +113,7 @@ class Attention(nn.Module):
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
         out = out.reshape(n, t, d)
-        return nn.Dense(d, dtype=self.dtype, name="proj")(out)
+        return _dense(d, self.dtype, "proj", self.quant)(out)
 
 
 class Mlp(nn.Module):
@@ -113,12 +122,13 @@ class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, dtype=self.dtype, name="fc1")(x)
+        x = _dense(self.hidden, self.dtype, "fc1", self.quant)(x)
         x = jax.nn.gelu(x, approximate=False)
-        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(x)
+        return _dense(self.dim, self.dtype, "fc2", self.quant)(x)
 
 
 class Block(nn.Module):
@@ -131,16 +141,17 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
         x = x + Attention(self.dim, self.num_heads, self.dtype,
                           self.attn_impl, self.attn_scores_dtype,
-                          name="attn")(y)
+                          self.quant, name="attn")(y)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
         x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                    name="mlp")(y)
+                    quant=self.quant, name="mlp")(y)
         return x, None
 
 
@@ -159,6 +170,7 @@ class BlockStack(nn.Module):
     remat: bool = False
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
+    quant: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -177,6 +189,7 @@ class BlockStack(nn.Module):
             dtype=self.dtype,
             attn_impl=self.attn_impl,
             attn_scores_dtype=self.attn_scores_dtype,
+            quant=self.quant,
             name="blocks",
         )(x, None)
         return x
@@ -257,6 +270,7 @@ class DenseViT(nn.Module):
                     jnp.bfloat16 if cfg.attn_scores_dtype == "bfloat16"
                     else jnp.float32
                 ),
+                quant=cfg.quant_int8,
                 name=f"seg{i}",
             )(x)
             taps.append(x)

@@ -1,0 +1,72 @@
+"""Int8 dynamic-quant matmul path: numerics and model-level fidelity."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from lseg_tpu.models.lseg import LSegNet
+from lseg_tpu.ops.quant import QuantDense, int8_matmul, quantize_rows
+from lseg_tpu.testing import tiny_vit_config
+
+
+def test_quantize_rows_exact_levels():
+    x = jnp.asarray([[1.0, -0.5, 0.25, 0.0]])
+    q, s = quantize_rows(x)
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(float(s[0, 0]), 1.0 / 127.0)
+    np.testing.assert_array_equal(
+        np.asarray(q)[0], [127, -64, 32, 0]
+    )
+
+
+def test_int8_matmul_close_to_fp32():
+    rng = np.random.RandomState(0)
+    x = rng.randn(64, 128).astype(np.float32)
+    w = rng.randn(128, 96).astype(np.float32)
+    ref = x @ w
+    got = np.asarray(int8_matmul(
+        jnp.asarray(x), jnp.asarray(w), out_dtype=jnp.float32
+    ))
+    # ~1% relative error is the expected symmetric-int8 regime
+    rel = np.abs(got - ref) / (np.abs(ref) + 1.0)
+    assert rel.mean() < 0.02, rel.mean()
+
+
+def test_quantdense_param_tree_matches_dense():
+    import flax.linen as nn
+
+    x = jnp.ones((2, 16))
+    d = nn.Dense(8)
+    q = QuantDense(8)
+    vd = d.init(jax.random.PRNGKey(0), x)
+    vq = q.init(jax.random.PRNGKey(0), x)
+    assert jax.tree_util.tree_map(
+        lambda a: a.shape, vd
+    ) == jax.tree_util.tree_map(lambda a: a.shape, vq)
+    # same weights -> close outputs
+    out_d = np.asarray(d.apply(vd, x))
+    out_q = np.asarray(q.apply(vd, x).astype(jnp.float32))
+    np.testing.assert_allclose(out_q, out_d, rtol=0.05, atol=0.05)
+
+
+def test_quant_model_close_to_fp_model():
+    cfg = tiny_vit_config()
+    cfg_q = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, quant_int8=True)
+    )
+    m = LSegNet(cfg)
+    mq = LSegNet(cfg_q)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    # identical param tree: the quant model consumes the same weights
+    o = np.asarray(m.apply(v, x, txt))
+    oq = np.asarray(mq.apply(v, x, txt))
+    # cosine similarity of logits stays high under int8 noise
+    cos = (o * oq).sum() / (
+        np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
+    )
+    assert cos > 0.99, cos

@@ -70,3 +70,21 @@ def test_quant_model_close_to_fp_model():
         np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
     )
     assert cos > 0.99, cos
+
+
+def test_bf16_scores_close_to_fp32_scores():
+    """The serving config's bf16 attention-score stream: argmax label
+    maps should agree almost everywhere with the fp32-score model."""
+    cfg = tiny_vit_config()
+    cfg_b = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_scores_dtype="bfloat16")
+    )
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mb = LSegNet(cfg_b, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    a = np.argmax(np.asarray(m.apply(v, x, txt)), -1)
+    b = np.argmax(np.asarray(mb.apply(v, x, txt)), -1)
+    assert (a == b).mean() > 0.98, (a == b).mean()

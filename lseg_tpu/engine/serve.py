@@ -13,9 +13,13 @@ Text features come precomputed from `TextFeatureCache`, so per-request
 label lists swap in with zero retracing (only K changes shape, one
 compile per distinct K).
 
-The XLA path (`use_pallas=False`) computes identical values through
-`ops.correlation.correlate` + matmul upsample + argmax — the Pallas path
-is cross-checked against it in tests.
+The XLA path (`use_pallas=False`, the default) computes identical
+values through `ops.correlation.correlate` + matmul upsample + argmax —
+the Pallas path is cross-checked against it in tests. Measured on v5e
+(interleaved A/B, CLAUDE.md): XLA's own fusion of this head is FASTER
+than the hand-written kernels at the 480-crop/K=150 size, so Pallas is
+opt-in; the kernels remain for larger K / HW regimes and as the
+streaming (no full-res logits in HBM) option.
 """
 
 from __future__ import annotations
@@ -34,7 +38,7 @@ from lseg_tpu.ops.resize import upsample2x
 def make_predictor(
     model,
     variables,
-    use_pallas: bool = True,
+    use_pallas: bool = False,
     interpret: bool = False,
 ) -> Callable:
     """(images (N,H,W,3) fp32, text_features (K,C)) -> (N,H,W) int32."""

@@ -35,6 +35,7 @@ class ADE20KSegmentation:
         ignore_index: int = -1,
         mean=T.DEFAULT_MEAN,
         std=T.DEFAULT_STD,
+        seed: int = 0,
     ):
         self.root = os.path.join(root, "ADEChallengeData2016")
         self.split = split
@@ -44,6 +45,8 @@ class ADE20KSegmentation:
         self.ignore_index = ignore_index
         self.mean, self.std = mean, std
         self.num_classes = NUM_CLASSES
+        self.seed = seed
+        self._epoch = 0
 
         sub = "training" if split == "train" else "validation"
         img_dir = os.path.join(self.root, "images", sub)
@@ -67,6 +70,13 @@ class ADE20KSegmentation:
     def __len__(self) -> int:
         return len(self.images)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Deterministic augmentation stream: the per-sample RNG mixes
+        (seed, epoch, idx), so runs reproduce exactly and resumed
+        epochs see fresh augmentations (sampler-style hook, called by
+        the DataLoader)."""
+        self._epoch = int(epoch)
+
     def _mask_to_target(self, mask: np.ndarray) -> np.ndarray:
         """0=void -> ignore; 1..150 -> 0..149 (encoding convention)."""
         m = mask.astype(np.int32) - 1
@@ -79,7 +89,10 @@ class ADE20KSegmentation:
         if self.mode == "train":
             arr, m = T.train_transform(
                 img, mask, self.base_size, self.crop_size,
-                rng=random.Random(random.getrandbits(32)),
+                rng=random.Random(
+                    (self.seed * 1_000_003 + self._epoch) * 2_654_435_761
+                    + idx
+                ),
                 mean=self.mean, std=self.std,
                 ignore_index=0,  # pad with void BEFORE the -1 shift
             )

@@ -58,6 +58,8 @@ class DataLoader:
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)
         idx = self._indices()
         n_batches = len(self)
         sample_q: "queue.Queue" = queue.Queue(

@@ -58,3 +58,14 @@ def test_train_mode_augmentation(ade_tree):
 def test_missing_root_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         ADE20KSegmentation(str(tmp_path), "train")
+
+
+def test_train_aug_deterministic_per_epoch(ade_tree):
+    ds1 = ADE20KSegmentation(ade_tree, "train", base_size=80,
+                             crop_size=64, seed=7)
+    ds2 = ADE20KSegmentation(ade_tree, "train", base_size=80,
+                             crop_size=64, seed=7)
+    np.testing.assert_array_equal(ds1[0]["image"], ds2[0]["image"])
+    # different epoch -> different augmentation
+    ds2.set_epoch(1)
+    assert not np.array_equal(ds1[0]["image"], ds2[0]["image"])

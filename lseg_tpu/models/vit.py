@@ -53,12 +53,11 @@ def _flash_attention(q, k, v, scale, dtype):
         BlockSizes, SegmentIds, flash_attention,
     )
 
-    n, t, h, hd = q.shape
+    n, h, t, hd = q.shape  # heads-major in AND out (no transposes)
     tp = -(-t // 128) * 128
     pad = tp - t
 
     def prep(x):
-        x = jnp.transpose(x, (0, 2, 1, 3))  # (N, H, T, hd)
         if pad:
             x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
         return x.astype(dtype)
@@ -76,7 +75,64 @@ def _flash_attention(q, k, v, scale, dtype):
             block_b=1,
         ),
     )
-    return jnp.transpose(out[:, :, :t], (0, 2, 1, 3))
+    return out[:, :, :t]
+
+
+class _QKVHeadsMajor(nn.Module):
+    """qkv projection emitting (3, N, H, T, hd) heads-major directly —
+    the flash kernel's native layout, skipping the reshape/slice/
+    transpose churn of the (N, T, 3, H, hd) route. Param tree identical
+    to nn.Dense(3*dim) (same 'kernel'/'bias' names and shapes), so
+    checkpoints are interchangeable."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d, h = self.dim, self.num_heads
+        hd = d // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d, 3 * d),
+            jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (3 * d,), jnp.float32
+        )
+        kr = kernel.reshape(d, 3, h, hd).astype(self.dtype)
+        br = bias.reshape(3, 1, h, 1, hd).astype(self.dtype)
+        y = jnp.einsum(
+            "ntd,dchj->cnhtj", x, kr,
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return y + br
+
+
+class _ProjHeadsMajor(nn.Module):
+    """Output projection consuming (N, H, T, hd) heads-major directly
+    (contraction over H and hd — no transpose back). Param tree
+    identical to nn.Dense(dim)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d, h = self.dim, self.num_heads
+        hd = d // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (d, d), jnp.float32
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (d,), jnp.float32
+        )
+        kr = kernel.reshape(h, hd, d).astype(self.dtype)
+        y = jnp.einsum(
+            "nhtj,hjd->ntd", x, kr, preferred_element_type=jnp.float32
+        ).astype(self.dtype)
+        return y + bias.astype(self.dtype)
 
 
 class Attention(nn.Module):
@@ -84,8 +140,9 @@ class Attention(nn.Module):
     fused qkv projection with bias, scale = head_dim**-0.5).
 
     impl='xla': einsum QK^T -> fp32 softmax -> PV (XLA fusion).
-    impl='flash': Pallas TPU flash-attention kernel — identical math,
-    softmax tiled in VMEM (the attention matrices never hit HBM)."""
+    impl='flash': Pallas TPU flash-attention kernel in heads-major
+    layout end to end — identical math, softmax tiled in VMEM (the
+    attention matrices never hit HBM)."""
 
     dim: int
     num_heads: int
@@ -103,13 +160,17 @@ class Attention(nn.Module):
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
+        scale = hd ** -0.5
+        if self.impl == "flash":
+            qkv = _QKVHeadsMajor(d, h, self.dtype, name="qkv")(x)
+            out = _flash_attention(
+                qkv[0], qkv[1], qkv[2], scale, self.dtype
+            )
+            return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
         qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
         qkv = qkv.reshape(n, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        scale = hd ** -0.5
-        if self.impl == "flash":
-            out = _flash_attention(q, k, v, scale, self.dtype)
-        elif self.impl == "dpa":
+        if self.impl == "dpa":
             # XLA's fused attention path; (B, T, H, hd) layout native
             out = jax.nn.dot_product_attention(q, k, v, scale=scale)
         else:

@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (0 = all)")
     p.add_argument("--logdir", default="logs")
+    p.add_argument("--fast", action="store_true",
+                   help="bf16 attention-score serving config "
+                        "(1.76x throughput; validate mIoU delta)")
     p.add_argument("--arch_option", type=int, default=0)
     p.add_argument("--block_depth", type=int, default=0)
     p.add_argument("--activation", default="lrelu")
@@ -62,6 +65,11 @@ def main():
         args.backbone, arch_option=args.arch_option,
         block_depth=args.block_depth, activation=args.activation,
     )
+    if args.fast:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+            cfg.vit, attn_scores_dtype="bfloat16"))
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     variables, text_vars = load_reference_checkpoint(args.weights, cfg)
     labels = get_labels(args.dataset, args.label_dir)

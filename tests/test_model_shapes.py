@@ -125,3 +125,24 @@ def test_attention_impls_agree():
     o1 = np.asarray(m1.apply(v, x, txt))
     o2 = np.asarray(m2.apply(v, x, txt))
     np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)
+
+
+def test_all_registry_backbones_wire_up():
+    """Every registry config initializes and produces the right output
+    shape (eval_shape only — no compute), incl. ViT-B/32's different
+    hooks/resample ladder and RN101."""
+    from lseg_tpu.config import BACKBONES
+    from lseg_tpu.models.lseg import LSegNet as _L
+
+    for name, cfg in BACKBONES.items():
+        model = _L(cfg)
+        x = jnp.zeros((1, 64, 64, 3))
+        txt = jnp.zeros((5, cfg.out_c))
+
+        def init_and_apply():
+            v = model.init(jax.random.PRNGKey(0), x, txt)
+            return model.apply(v, x, txt)
+
+        out = jax.eval_shape(init_and_apply)
+        assert out.shape == (1, 64, 64, 5), (name, out.shape)
+        assert out.dtype == jnp.float32, name

@@ -72,7 +72,10 @@ class DataLoader:
                            self.num_workers):
                 if stop.is_set():
                     return
-                sample_q.put((i, self.dataset[int(idx[i])]))
+                try:
+                    sample_q.put((i, self.dataset[int(idx[i])]))
+                except Exception as e:  # propagate to the consumer
+                    sample_q.put((i, e))
 
         threads = [
             threading.Thread(target=worker, args=(w,), daemon=True)
@@ -93,6 +96,10 @@ class DataLoader:
                         next_i += 1
                         continue
                     i, s = sample_q.get()
+                    if isinstance(s, Exception):
+                        raise RuntimeError(
+                            f"DataLoader worker failed on sample {i}"
+                        ) from s
                     if i == next_i:
                         samples.append(s)
                         next_i += 1

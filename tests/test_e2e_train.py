@@ -102,3 +102,40 @@ def test_fit_synthetic_and_resume(tmp_path):
     acc_init = float(m_init["correct"]) / float(m_init["labeled"])
     acc_final = float(m_final["correct"]) / float(m_final["labeled"])
     assert acc_final > acc_init
+
+
+def test_loader_propagates_worker_errors():
+    class Broken:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, i):
+            if i == 3:
+                raise ValueError("corrupt sample")
+            return {"x": np.zeros(2, np.float32)}
+
+    dl = DataLoader(Broken(), batch_size=4, shuffle=False, num_workers=2)
+    import pytest
+
+    with pytest.raises(RuntimeError, match="sample 3"):
+        list(dl)
+
+
+def test_sharded_correlation_matches_unsharded():
+    """SURVEY §2.3: for huge K / HW, shard the correlation's pixel rows
+    across the mesh — under jit this is just input sharding; XLA keeps
+    the text matrix replicated and emits no cross-device traffic."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from lseg_tpu.ops.correlation import correlate
+    from lseg_tpu.parallel import create_mesh
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    rng = np.random.RandomState(0)
+    emb = jnp.asarray(rng.randn(8, 16, 16, 32).astype(np.float32))
+    txt = jnp.asarray(rng.randn(1000, 32).astype(np.float32))  # FSS-size K
+    ref = np.asarray(correlate(emb, txt))
+    emb_sh = jax.device_put(emb, NamedSharding(mesh, P("data")))
+    out = jax.jit(correlate)(emb_sh, txt)
+    np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
+    assert out.sharding.spec == P("data")  # rows stay sharded

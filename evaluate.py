@@ -38,6 +38,9 @@ def parse_args():
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (0 = all)")
     p.add_argument("--logdir", default="logs")
+    p.add_argument("--export", default=None,
+                   help="write the loaded weights as a raw .npz and exit "
+                        "(the reference's test_lseg.py --export path)")
     p.add_argument("--fast", action="store_true",
                    help="bf16 attention-score serving config "
                         "(1.76x throughput; validate mIoU delta)")
@@ -72,6 +75,16 @@ def main():
             cfg.vit, attn_scores_dtype="bfloat16"))
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     variables, text_vars = load_reference_checkpoint(args.weights, cfg)
+    if args.export:
+        from lseg_tpu.train.checkpoint import export_params
+
+        class _S:
+            params = variables["params"]
+            batch_stats = variables.get("batch_stats", {})
+
+        export_params(args.export, _S())
+        print(f"exported {args.export}")
+        return
     labels = get_labels(args.dataset, args.label_dir)
     tok = ClipBPETokenizer.from_file(args.bpe_vocab)
     txt = TextFeatureCache(cfg.text, text_vars, tok)(tuple(labels))

@@ -38,6 +38,11 @@ def parse_args():
     p.add_argument("--limit", type=int, default=0,
                    help="evaluate only the first N images (0 = all)")
     p.add_argument("--logdir", default="logs")
+    p.add_argument("--acc-bn", dest="acc_bn", action="store_true",
+                   help="re-estimate BN running stats on train data "
+                        "before eval (precise BN, the reference's "
+                        "--acc-bn path)")
+    p.add_argument("--acc_bn_batches", type=int, default=100)
     p.add_argument("--export", default=None,
                    help="write the loaded weights as a raw .npz and exit "
                         "(the reference's test_lseg.py --export path)")
@@ -85,6 +90,37 @@ def main():
         export_params(args.export, _S())
         print(f"exported {args.export}")
         return
+    if args.acc_bn:
+        from lseg_tpu.utils.precise_bn import update_bn_stats
+
+        train_ds = ADE20KSegmentation(
+            args.data_path, "train", base_size=args.base_size,
+            crop_size=args.crop_size,
+        )
+
+        def bn_apply(v, batch):
+            import jax
+
+            _, mut = jax.jit(
+                lambda v, x: model.apply(v, x, None, train=True,
+                                         mutable=["batch_stats"])
+            )(v, batch)
+            return mut["batch_stats"]
+
+        def batches():
+            for i in range(0, len(train_ds), args.batch_size):
+                yield jnp.asarray(np.stack([
+                    train_ds[j]["image"]
+                    for j in range(i, min(i + args.batch_size,
+                                          len(train_ds)))
+                ]))
+
+        print("re-estimating BN statistics (precise BN)")
+        variables = dict(variables)
+        variables["batch_stats"] = update_bn_stats(
+            bn_apply, variables, batches(),
+            max_batches=args.acc_bn_batches,
+        )
     labels = get_labels(args.dataset, args.label_dir)
     tok = ClipBPETokenizer.from_file(args.bpe_vocab)
     txt = TextFeatureCache(cfg.text, text_vars, tok)(tuple(labels))

@@ -65,3 +65,38 @@ def test_step_timer():
     assert t.step(x) is not None
     assert t.mean > 0
     assert t.throughput(8) > 0
+
+
+def test_precise_bn_recovers_exact_batch_moments():
+    """One batch: the recovered precise-BN stats must equal that batch's
+    true moments (EMA inversion is exact)."""
+    import flax.linen as nn
+
+    from lseg_tpu.utils.precise_bn import update_bn_stats
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, train=False):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9,
+                epsilon=1e-5, name="bn",
+            )(x)
+
+    m = M()
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(16, 4).astype(np.float32) * 3 + 1)
+    variables = m.init(jax.random.PRNGKey(0), x, train=True)
+
+    def apply_fn(v, batch):
+        _, mut = m.apply(v, batch, train=True, mutable=["batch_stats"])
+        return mut["batch_stats"]
+
+    new_stats = update_bn_stats(apply_fn, variables, [x])
+    np.testing.assert_allclose(
+        new_stats["bn"]["mean"], np.asarray(x).mean(0), rtol=1e-4,
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        new_stats["bn"]["var"], np.asarray(x).var(0), rtol=1e-3,
+        atol=1e-4,
+    )

@@ -35,6 +35,8 @@ class DataLoader:
         drop_last: bool = True,
         prefetch: int = 2,
         sharding=None,
+        process_count: int = 1,
+        process_index: int = 0,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -44,6 +46,11 @@ class DataLoader:
         self.drop_last = drop_last
         self.prefetch = prefetch
         self.sharding = sharding
+        # multi-host: each process loads its contiguous shard of the
+        # (epoch-shuffled) index stream (reference multi-node loading is
+        # per-rank via DistributedSampler; here per jax.process_index())
+        self.process_count = process_count
+        self.process_index = process_index
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -55,6 +62,10 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState(self.seed + self.epoch)
             rng.shuffle(idx)
+        if self.process_count > 1:
+            per = len(idx) // self.process_count
+            idx = idx[self.process_index * per:
+                      (self.process_index + 1) * per]
         return idx
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:

@@ -139,3 +139,15 @@ def test_sharded_correlation_matches_unsharded():
     out = jax.jit(correlate)(emb_sh, txt)
     np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5, atol=1e-5)
     assert out.sharding.spec == P("data")  # rows stay sharded
+
+
+def test_loader_process_sharding():
+    ds = SyntheticSegDataset(n=16, size=16)
+    a = DataLoader(ds, 2, shuffle=True, num_workers=1, seed=5,
+                   process_count=2, process_index=0)
+    b = DataLoader(ds, 2, shuffle=True, num_workers=1, seed=5,
+                   process_count=2, process_index=1)
+    ia, ib = a._indices(), b._indices()
+    assert len(ia) == len(ib) == 8
+    assert set(ia).isdisjoint(set(ib))
+    assert len(a) == 4  # batches per process

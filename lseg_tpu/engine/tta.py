@@ -223,11 +223,18 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
                 patches = jnp.stack(
                     [grab_one(metas[j]) for j in range(g)], axis=0
                 )
-                batch = jnp.concatenate(
-                    [patches, patches[:, :, ::-1, :]], axis=0
-                )
-                logits = apply_fn(batch, text_features).astype(jnp.float32)
-                combined = logits[:g] + logits[g:][:, :, ::-1, :]
+                if proto.flip:
+                    batch = jnp.concatenate(
+                        [patches, patches[:, :, ::-1, :]], axis=0
+                    )
+                    logits = apply_fn(
+                        batch, text_features
+                    ).astype(jnp.float32)
+                    combined = logits[:g] + logits[g:][:, :, ::-1, :]
+                else:
+                    combined = apply_fn(
+                        patches, text_features
+                    ).astype(jnp.float32)
 
                 for j in range(g):
                     s, y0, x0 = metas[j, 0], metas[j, 1], metas[j, 2]

@@ -131,3 +131,26 @@ def test_single_scale_evaluator():
     correct, labeled, inter, union = ev.metrics(imgs, tgts, txt)
     assert int(labeled) == 2 * 64 * 64
     assert inter.shape == (4,)
+
+
+def test_tta_no_flip_matches_oracle():
+    proto = TTAProtocol(base_size=72, crop_size=64,
+                        scales=(0.5, 1.0), flip=False)
+    apply_fn, image, txt = _model_and_inputs()
+    ev = MultiScaleEvaluator(apply_fn, num_classes=4, proto=proto)
+    ours = ev(image, txt, return_logits=True)
+    ref = _oracle(apply_fn, image, txt, proto, num_classes=4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_tta_image_smaller_than_crop():
+    # every scale pads up to the crop (the reference's small-image
+    # branch, encoding_models.py:88-101)
+    proto = TTAProtocol(base_size=48, crop_size=64,
+                        scales=(0.5, 1.0), flip=True)
+    apply_fn, _, txt = _model_and_inputs()
+    image = np.random.RandomState(3).randn(40, 30, 3).astype(np.float32)
+    ev = MultiScaleEvaluator(apply_fn, num_classes=4, proto=proto)
+    ours = ev(image, txt, return_logits=True)
+    ref = _oracle(apply_fn, image, txt, proto, num_classes=4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)

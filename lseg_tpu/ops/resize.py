@@ -58,11 +58,14 @@ def resize_bilinear(
     out_h: int,
     out_w: int,
     align_corners: bool = True,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
     """Bilinearly resize an NHWC (or HWC) tensor to (out_h, out_w).
 
     Matches torch F.interpolate(mode='bilinear', align_corners=...) exactly
-    (fp32 reference semantics). Implemented as two matmuls.
+    at the default fp32 compute dtype. Implemented as two matmuls;
+    `compute_dtype=jnp.bfloat16` halves the HBM streams for serving paths
+    that tolerate bf16 rounding.
     """
     squeeze = False
     if x.ndim == 3:
@@ -71,12 +74,16 @@ def resize_bilinear(
     n, h, w, c = x.shape
     if (h, w) != (out_h, out_w):
         dt = x.dtype
-        xf = x.astype(jnp.float32)
+        xf = x.astype(compute_dtype)
         if h != out_h:
-            Ah = jnp.asarray(_interp_matrix(h, out_h, align_corners))
+            Ah = jnp.asarray(
+                _interp_matrix(h, out_h, align_corners)
+            ).astype(compute_dtype)
             xf = jnp.einsum("oh,nhwc->nowc", Ah, xf)
         if w != out_w:
-            Aw = jnp.asarray(_interp_matrix(w, out_w, align_corners))
+            Aw = jnp.asarray(
+                _interp_matrix(w, out_w, align_corners)
+            ).astype(compute_dtype)
             xf = jnp.einsum("ow,nhwc->nhoc", Aw, xf)
         x = xf.astype(dt)
     if squeeze:

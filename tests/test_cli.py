@@ -15,6 +15,7 @@ CLIS = [
     "demo.py",
     "hsnet_run.py",
     "prepare_ade20k.py",
+    "parity_check.py",
 ]
 
 

@@ -41,9 +41,19 @@ def correlate(
     img = l2_normalize(image_features.astype(jnp.float32))
     txt = l2_normalize(text_features.astype(jnp.float32))
     if emulate_fp16:
+        # parity path: scale AFTER the fp16 matmul, exactly like the
+        # reference's `logit_scale * img.half() @ txt.t()`
         img = img.astype(jnp.float16)
         txt = txt.astype(jnp.float16)
+        logits = jnp.einsum(
+            "nhwc,kc->nhwk", img, txt, preferred_element_type=jnp.float32
+        )
+        return logit_scale * logits.astype(jnp.float32)
+    # fold the temperature into the (K, C) text operand: saves a full
+    # read+write of the (N, H, W, K) logit tensor (profiler: ~0.75 ms
+    # per batch-8 480-crop); identical math in fp32
     logits = jnp.einsum(
-        "nhwc,kc->nhwk", img, txt, preferred_element_type=jnp.float32
+        "nhwc,kc->nhwk", img, logit_scale * txt,
+        preferred_element_type=jnp.float32,
     )
-    return logit_scale * logits.astype(jnp.float32)
+    return logits.astype(jnp.float32)

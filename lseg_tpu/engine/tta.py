@@ -163,16 +163,19 @@ def _resize_np(img: np.ndarray, oh: int, ow: int) -> np.ndarray:
 
 def build_pyramid(
     proto: TTAProtocol, image: np.ndarray, plan: TTAPlan
-) -> List[np.ndarray]:
+) -> np.ndarray:
     """Resize the normalized (H, W, 3) image to each scale and embed it
-    in the static (P_s, P_s, 3) canvas-padded buffer (pad = normalized
-    zero, reference pad_image encoding_models.py:144-155)."""
-    pyr = []
+    in ONE stacked (S, Pmax, Pmax, 3) buffer (pad = normalized zero,
+    reference pad_image encoding_models.py:144-155). A single stacked
+    tensor keeps the crop program switch-free (a plain dynamic_slice
+    indexed by scale), which also keeps the compiled graph small."""
+    pmax = max(proto.canvas_sizes)
     pad = np.asarray(proto.pad_value, dtype=np.float32)
-    for (hs, ws), P in zip(plan.sizes, proto.canvas_sizes):
-        buf = np.broadcast_to(pad, (P, P, 3)).copy()
-        buf[:hs, :ws] = _resize_np(image, hs, ws)
-        pyr.append(buf)
+    pyr = np.broadcast_to(
+        pad, (len(proto.scales), pmax, pmax, 3)
+    ).copy()
+    for s, (hs, ws) in enumerate(plan.sizes):
+        pyr[s, :hs, :ws] = _resize_np(image, hs, ws)
     return pyr
 
 
@@ -191,31 +194,29 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
     batch 2*crops_per_step (crop + hflip) for MXU utilization. The
     planner packs valid slots first, so all-padding chunks are skipped
     whole by `lax.cond` (scan is sequential: the skip is real); partial
-    chunks mask the padding slots' contributions to zero."""
+    chunks mask the padding slots' contributions to zero.
+
+    Canvases are ONE stacked (S, Pmax, Pmax, K) tensor: crop extraction
+    and scatter-add are plain dynamic slices indexed by (scale, y, x) —
+    no lax.switch, which keeps the compiled graph small (per-scale
+    switch branches blew up the TPU AOT compiler at flagship size)."""
     crop = proto.crop_size
     n_scales = len(proto.scales)
+    pmax = max(proto.canvas_sizes)
     g = crops_per_step
 
     def run(pyramid, crop_meta, text_features):
-        canvases = tuple(
-            jnp.zeros((P, P, num_classes), jnp.float32)
-            for P in proto.canvas_sizes
-        )
-        counts = tuple(
-            jnp.zeros((P, P, 1), jnp.float32)
-            for P in proto.canvas_sizes
-        )
+        # pyramid: (S, Pmax, Pmax, 3) stacked scale images
+        canvases = jnp.zeros((n_scales, pmax, pmax, num_classes),
+                             jnp.float32)
+        counts = jnp.zeros((n_scales, pmax, pmax, 1), jnp.float32)
         chunked = crop_meta.reshape(-1, g, 4)
 
         def grab_one(meta):
             s, y0, x0 = meta[0], meta[1], meta[2]
-
-            def grab(i):
-                return lambda: jax.lax.dynamic_slice(
-                    pyramid[i], (y0, x0, 0), (crop, crop, 3)
-                )
-
-            return jax.lax.switch(s, [grab(i) for i in range(n_scales)])
+            return jax.lax.dynamic_slice(
+                pyramid, (s, y0, x0, 0), (1, crop, crop, 3)
+            )[0]
 
         def step(carry, metas):  # metas: (g, 4)
             def do(carry):
@@ -239,33 +240,18 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
                 for j in range(g):
                     s, y0, x0 = metas[j, 0], metas[j, 1], metas[j, 2]
                     w = (metas[j, 3] > 0).astype(jnp.float32)
-                    contrib = combined[j] * w
-
-                    def add(i):
-                        def f():
-                            c = jax.lax.dynamic_slice(
-                                canvases[i], (y0, x0, 0),
-                                (crop, crop, num_classes),
-                            )
-                            n = jax.lax.dynamic_slice(
-                                counts[i], (y0, x0, 0), (crop, crop, 1)
-                            )
-                            new_c = jax.lax.dynamic_update_slice(
-                                canvases[i], c + contrib, (y0, x0, 0)
-                            )
-                            new_n = jax.lax.dynamic_update_slice(
-                                counts[i], n + w, (y0, x0, 0)
-                            )
-                            return (
-                                tuple(new_c if jj == i else canvases[jj]
-                                      for jj in range(n_scales)),
-                                tuple(new_n if jj == i else counts[jj]
-                                      for jj in range(n_scales)),
-                            )
-                        return f
-
-                    canvases, counts = jax.lax.switch(
-                        s, [add(i) for i in range(n_scales)]
+                    idx = (s, y0, x0, 0)
+                    c = jax.lax.dynamic_slice(
+                        canvases, idx, (1, crop, crop, num_classes)
+                    )
+                    n = jax.lax.dynamic_slice(
+                        counts, idx, (1, crop, crop, 1)
+                    )
+                    canvases = jax.lax.dynamic_update_slice(
+                        canvases, c + combined[j][None] * w, idx
+                    )
+                    counts = jax.lax.dynamic_update_slice(
+                        counts, n + w, idx
                     )
                 return canvases, counts
 
@@ -277,9 +263,7 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
         (canvases, counts), _ = jax.lax.scan(
             step, (canvases, counts), chunked
         )
-        return tuple(
-            c / jnp.maximum(n, 1.0) for c, n in zip(canvases, counts)
-        )
+        return canvases / jnp.maximum(counts, 1.0)
 
     return jax.jit(run)
 
@@ -291,11 +275,10 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
 def _make_assemble(proto: TTAProtocol, num_classes: int, return_logits):
 
     def run(canvases, mats_h, mats_w):
-        total = None
-        for c, Ah, Aw in zip(canvases, mats_h, mats_w):
-            r = jnp.einsum("oh,hwk->owk", Ah, c)
-            r = jnp.einsum("ow,hwk->hok", Aw, r)
-            total = r if total is None else total + r
+        # canvases: (S, Pmax, Pmax, K); mats: (S, out, Pmax) zero-padded
+        total = jnp.einsum("soh,shwk->sowk", mats_h, canvases)
+        total = jnp.einsum("sow,shwk->shok", mats_w, total)
+        total = jnp.sum(total, axis=0)
         if return_logits:
             return total
         return jnp.argmax(total, axis=-1).astype(jnp.int32)
@@ -345,9 +328,7 @@ class MultiScaleEvaluator:
     def _canvases(self, image: np.ndarray, text_features):
         h, w, _ = image.shape
         plan = self._plan(h, w)
-        pyramid = [
-            jnp.asarray(p) for p in build_pyramid(self.proto, image, plan)
-        ]
+        pyramid = jnp.asarray(build_pyramid(self.proto, image, plan))
         if self._accumulate is None:
             self._accumulate = _make_accumulate(
                 self.proto, self._apply_fn, self.num_classes,
@@ -361,20 +342,19 @@ class MultiScaleEvaluator:
                  np.zeros((g - len(crops) % g, 4), crops.dtype)], axis=0
             )
         canvases = self._accumulate(
-            tuple(pyramid), jnp.asarray(crops), text_features
+            pyramid, jnp.asarray(crops), text_features
         )
         return canvases, plan
 
     def _mats(self, plan: TTAPlan, hb: int, wb: int):
-        mats_h, mats_w = [], []
-        for (hs, ws), P in zip(plan.sizes, self.proto.canvas_sizes):
-            Ah = np.zeros((hb, P), np.float32)
-            Ah[: plan.h, :hs] = _interp_matrix(hs, plan.h, True)
-            Aw = np.zeros((wb, P), np.float32)
-            Aw[: plan.w, :ws] = _interp_matrix(ws, plan.w, True)
-            mats_h.append(jnp.asarray(Ah))
-            mats_w.append(jnp.asarray(Aw))
-        return tuple(mats_h), tuple(mats_w)
+        pmax = max(self.proto.canvas_sizes)
+        s = len(self.proto.scales)
+        mats_h = np.zeros((s, hb, pmax), np.float32)
+        mats_w = np.zeros((s, wb, pmax), np.float32)
+        for i, (hs, ws) in enumerate(plan.sizes):
+            mats_h[i, : plan.h, :hs] = _interp_matrix(hs, plan.h, True)
+            mats_w[i, : plan.w, :ws] = _interp_matrix(ws, plan.w, True)
+        return jnp.asarray(mats_h), jnp.asarray(mats_w)
 
     def __call__(
         self, image: np.ndarray, text_features, return_logits: bool = False

@@ -190,82 +190,93 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
     (B, crop, crop, 3) -> (B, crop, crop, K); text_features is a traced
     argument so label-set swaps (same K) reuse the compile.
 
-    Crops are processed `crops_per_step` at a time — the forward runs at
-    batch 2*crops_per_step (crop + hflip) for MXU utilization. The
-    planner packs valid slots first, so all-padding chunks are skipped
-    whole by `lax.cond` (scan is sequential: the skip is real); partial
-    chunks mask the padding slots' contributions to zero.
+    Three SMALL device programs with a host-driven chunk loop (all data
+    stays on device between calls):
 
-    Canvases are ONE stacked (S, Pmax, Pmax, K) tensor: crop extraction
-    and scatter-add are plain dynamic slices indexed by (scale, y, x) —
-    no lax.switch, which keeps the compiled graph small (per-scale
-    switch branches blew up the TPU AOT compiler at flagship size)."""
+      gather:  (pyramid, metas)               -> (g, crop, crop, 3)
+      forward: the model's standard batched jit (shared with every
+               other consumer — ONE model compile total)
+      scatter: (canvases, counts, metas, logits) -> updated, donated
+
+    Crops are processed `crops_per_step` (g) at a time — the forward
+    runs at batch 2g (crop + hflip). Partial chunks mask padding slots'
+    contributions to zero; all-padding chunks never launch (the host
+    knows n_valid). Earlier designs that inlined the model forward into
+    one scan program (with lax.switch or stacked-slice scatter) crashed
+    / ran out the TPU AOT compile helper at flagship size — keeping the
+    model compile separate is also what makes label-set swaps and the
+    single-scale path share one executable.
+
+    Canvases are ONE stacked (S, Pmax, Pmax, K) tensor so gather and
+    scatter are plain dynamic slices indexed by (scale, y, x)."""
     crop = proto.crop_size
     n_scales = len(proto.scales)
     pmax = max(proto.canvas_sizes)
     g = crops_per_step
 
-    def run(pyramid, crop_meta, text_features):
-        # pyramid: (S, Pmax, Pmax, 3) stacked scale images
-        canvases = jnp.zeros((n_scales, pmax, pmax, num_classes),
-                             jnp.float32)
-        counts = jnp.zeros((n_scales, pmax, pmax, 1), jnp.float32)
-        chunked = crop_meta.reshape(-1, g, 4)
-
+    @jax.jit
+    def gather(pyramid, metas):  # metas: (g, 4)
         def grab_one(meta):
             s, y0, x0 = meta[0], meta[1], meta[2]
             return jax.lax.dynamic_slice(
                 pyramid, (s, y0, x0, 0), (1, crop, crop, 3)
             )[0]
 
-        def step(carry, metas):  # metas: (g, 4)
-            def do(carry):
-                canvases, counts = carry
-                patches = jnp.stack(
-                    [grab_one(metas[j]) for j in range(g)], axis=0
-                )
-                if proto.flip:
-                    batch = jnp.concatenate(
-                        [patches, patches[:, :, ::-1, :]], axis=0
-                    )
-                    logits = apply_fn(
-                        batch, text_features
-                    ).astype(jnp.float32)
-                    combined = logits[:g] + logits[g:][:, :, ::-1, :]
-                else:
-                    combined = apply_fn(
-                        patches, text_features
-                    ).astype(jnp.float32)
+        return jnp.stack([grab_one(metas[j]) for j in range(g)], axis=0)
 
-                for j in range(g):
-                    s, y0, x0 = metas[j, 0], metas[j, 1], metas[j, 2]
-                    w = (metas[j, 3] > 0).astype(jnp.float32)
-                    idx = (s, y0, x0, 0)
-                    c = jax.lax.dynamic_slice(
-                        canvases, idx, (1, crop, crop, num_classes)
-                    )
-                    n = jax.lax.dynamic_slice(
-                        counts, idx, (1, crop, crop, 1)
-                    )
-                    canvases = jax.lax.dynamic_update_slice(
-                        canvases, c + combined[j][None] * w, idx
-                    )
-                    counts = jax.lax.dynamic_update_slice(
-                        counts, n + w, idx
-                    )
-                return canvases, counts
+    @jax.jit
+    def combine_flip(logits):  # (2g, c, c, K) -> (g, c, c, K)
+        logits = logits.astype(jnp.float32)
+        return logits[:g] + logits[g:][:, :, ::-1, :]
 
-            carry = jax.lax.cond(
-                jnp.any(metas[:, 3] > 0), do, lambda c: c, carry
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def scatter(canvases, counts, metas, combined):
+        for j in range(g):
+            s, y0, x0 = metas[j, 0], metas[j, 1], metas[j, 2]
+            w = (metas[j, 3] > 0).astype(jnp.float32)
+            idx = (s, y0, x0, 0)
+            c = jax.lax.dynamic_slice(
+                canvases, idx, (1, crop, crop, num_classes)
             )
-            return carry, None
+            n = jax.lax.dynamic_slice(counts, idx, (1, crop, crop, 1))
+            canvases = jax.lax.dynamic_update_slice(
+                canvases, c + combined[j][None] * w, idx
+            )
+            counts = jax.lax.dynamic_update_slice(counts, n + w, idx)
+        return canvases, counts
 
-        (canvases, counts), _ = jax.lax.scan(
-            step, (canvases, counts), chunked
-        )
+    @jax.jit
+    def normalize(canvases, counts):
         return canvases / jnp.maximum(counts, 1.0)
 
-    return jax.jit(run)
+    forward = jax.jit(apply_fn)
+
+    @jax.jit
+    def flip_cat(patches):
+        return jnp.concatenate([patches, patches[:, :, ::-1, :]], axis=0)
+
+    @jax.jit
+    def to_f32(x):
+        return x.astype(jnp.float32)
+
+    def run(pyramid, crop_meta, text_features):
+        canvases = jnp.zeros((n_scales, pmax, pmax, num_classes),
+                             jnp.float32)
+        counts = jnp.zeros((n_scales, pmax, pmax, 1), jnp.float32)
+        n_chunks = -(-int(np.sum(crop_meta[:, 3] > 0)) // g)
+        for ci in range(n_chunks):
+            metas = jnp.asarray(crop_meta[ci * g: (ci + 1) * g])
+            patches = gather(pyramid, metas)
+            if proto.flip:
+                combined = combine_flip(
+                    forward(flip_cat(patches), text_features)
+                )
+            else:
+                combined = to_f32(forward(patches, text_features))
+            canvases, counts = scatter(canvases, counts, metas, combined)
+        return normalize(canvases, counts)
+
+    return run
 
 
 # ---------------------------------------------------------------------------

@@ -16,18 +16,19 @@ additional_utils/encoding_models.py:54-155, additional_utils/models.py:
 
 TPU-first redesign (SURVEY.md §7): instead of Python loops + one thread
 per GPU (reference models.py:183-248), the host *plans* the static
-(scale, window) grid once per image size, and the device runs TWO jit
+(scale, window) grid once per image size, and the device runs small jit
 programs with fully static shapes:
 
-- program A (ONE compile entry for the whole protocol): `lax.scan` over
-  a fixed MAX_CROPS slot array; each step slices a 480-crop out of the
-  stacked padded scale pyramid, runs the model on (crop, flipped-crop)
-  as a batch of 2, and scatter-adds the combined logits into per-scale
-  canvases (static sizes derived from the protocol, not the image).
-  Invalid padding slots are skipped with `lax.cond` (scan is sequential,
-  so the skip is real).
-- program B (one compile entry per output-size *bucket*): canvases are
-  count-normalized and mapped back to the original resolution by
+- crop stage (three tiny programs + the model's standard batched
+  forward, compiled ONCE and shared with every other consumer): gather
+  a chunk of crops from the stacked padded scale pyramid, run the model
+  on (crops, flipped crops) as one batch, scatter-add the combined
+  logits into the stacked (S, Pmax, Pmax, K) canvases with donated
+  buffers. The host drives the chunk loop — every array stays on
+  device, padding chunks never launch, and no image-size value ever
+  enters a trace (one compile total across all image sizes).
+- assemble stage (one small compile per output-size *bucket*): canvases
+  are count-normalized and mapped back to the original resolution by
   per-scale interpolation matrices built on host (exact
   align_corners=True semantics, zero-padded to the static canvas size),
   summed over scales, argmax -> (H_b, W_b) int32 label map. Only this

@@ -67,3 +67,24 @@ def test_serve_predictor_pallas_matches_xla():
     a = make_predictor(model, v, use_pallas=False)(x, txt)
     b = make_predictor(model, v, use_pallas=True, interpret=True)(x, txt)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_serve_predictor_arch_option_path():
+    """arch_option 1/2 uses the full-model forward (head blocks sit
+    between correlation and upsample)."""
+    import dataclasses
+
+    from lseg_tpu.engine.serve import make_predictor
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.testing import tiny_vit_config
+
+    cfg = dataclasses.replace(tiny_vit_config(), arch_option=2,
+                              block_depth=2)
+    model = LSegNet(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, txt)
+    pred = make_predictor(model, v)(x, txt)
+    ref = jnp.argmax(model.apply(v, x, txt), -1)
+    np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref))

@@ -23,11 +23,15 @@ from lseg_tpu.ops.resize import upsample2x
 
 def make_episodic_predictor(model, variables) -> Callable:
     """(images (B,H,W,3), txt_pairs (B,K,C)) -> (B,H,W) int32 argmax
-    over the per-image label set (K=2 for the binary episode head)."""
+    over the per-image label set (K=2 for the binary episode head).
+    Host-level callable; params are jit ARGUMENTS (closure-captured
+    weights would inline as constants — engine/serve.py docstring)."""
+    import functools
+
     scale = model.cfg.logit_scale
 
     @jax.jit
-    def predict(images, txt_pairs):
+    def predict(variables, images, txt_pairs):
         emb = model.apply(variables, images, None)
         img = l2_normalize(emb.astype(jnp.float32))
         txt = l2_normalize(txt_pairs.astype(jnp.float32))
@@ -38,7 +42,7 @@ def make_episodic_predictor(model, variables) -> Callable:
         up = upsample2x(logits, align_corners=True)
         return jnp.argmax(up, axis=-1).astype(jnp.int32)
 
-    return predict
+    return functools.partial(predict, variables)
 
 
 class EpisodicEvaluator:

@@ -7,6 +7,11 @@ device, and only scalars / small label maps are fetched. Shards over the
 `data` mesh axis when given a mesh — the TPU-native replacement for the
 reference's one-image-per-GPU threaded DataParallel
 (reference: additional_utils/models.py:183-248, test_lseg.py:435).
+
+`apply_fn` is a HOST-LEVEL callable (engine/serve.make_logits_fn):
+its params are jit arguments inside it, so this evaluator composes it
+with small jits for flip/argmax/metrics instead of re-jitting it
+(re-jitting would inline the weights as constants — serve.py docstring).
 """
 
 from __future__ import annotations
@@ -18,6 +23,21 @@ import jax.numpy as jnp
 import numpy as np
 
 from lseg_tpu.ops.metrics import seg_update
+
+
+@jax.jit
+def _flip_w(x):
+    return x[:, :, ::-1, :]
+
+
+@jax.jit
+def _merge_flip(a, b):
+    return a.astype(jnp.float32) + b.astype(jnp.float32)[:, :, ::-1, :]
+
+
+@jax.jit
+def _argmax(logits):
+    return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
 
 class SingleScaleEvaluator:
@@ -35,28 +55,19 @@ class SingleScaleEvaluator:
         self.num_classes = num_classes
         self.ignore_index = ignore_index
         self.mesh = mesh
-
-        def logits_fn(images, text_features):
-            out = apply_fn(images, text_features).astype(jnp.float32)
-            if flip:
-                out = out + apply_fn(
-                    images[:, :, ::-1, :], text_features
-                ).astype(jnp.float32)[:, :, ::-1, :]
-            return out
-
-        self._predict = jax.jit(
-            lambda img, txt: jnp.argmax(
-                logits_fn(img, txt), axis=-1
-            ).astype(jnp.int32)
+        self.flip = flip
+        self._apply = apply_fn
+        self._seg_update = jax.jit(
+            seg_update, static_argnames=("nclass", "ignore_index")
         )
 
-        def metrics_fn(img, tgt, txt):
-            return seg_update(
-                logits_fn(img, txt), tgt, nclass=num_classes,
-                ignore_index=ignore_index,
+    def _logits(self, images, text_features):
+        out = self._apply(images, text_features)
+        if self.flip:
+            out = _merge_flip(
+                out, self._apply(_flip_w(images), text_features)
             )
-
-        self._metrics = jax.jit(metrics_fn)
+        return out
 
     def _shard(self, x):
         if self.mesh is None:
@@ -66,11 +77,15 @@ class SingleScaleEvaluator:
         return jax.device_put(x, batch_sharding(self.mesh))
 
     def __call__(self, images, text_features) -> np.ndarray:
-        return np.asarray(self._predict(self._shard(images), text_features))
+        return np.asarray(
+            _argmax(self._logits(self._shard(images), text_features))
+        )
 
     def metrics(self, images, targets, text_features):
         """(correct, labeled, inter, union) device arrays for streaming
         accumulation (feed to ops.metrics.SegmentationMetric buffers)."""
-        return self._metrics(
-            self._shard(images), self._shard(targets), text_features
+        logits = self._logits(self._shard(images), text_features)
+        return self._seg_update(
+            logits, self._shard(targets), nclass=self.num_classes,
+            ignore_index=self.ignore_index,
         )

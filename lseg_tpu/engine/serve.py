@@ -2,18 +2,19 @@
 
 `make_predictor` builds the jit'd image->label-map function used by the
 app / demo / benchmark (reference: lseg_app.py request loop, SURVEY.md
-§3.4), composing:
+§3.4). Text features come precomputed from `TextFeatureCache`, so
+per-request label lists swap in with zero retracing (only K changes
+shape, one compile per distinct K).
 
-    pixel embeddings  (LSegNet image tower, bf16)
-    fused_correlate   (Pallas: normalize+matmul+scale in one pass)
-    upsample2x_argmax (Pallas: ×2 align_corners upsample + argmax,
-                       full-res logits never hit HBM)
+IMPORTANT convention: params are JIT ARGUMENTS, never closure captures.
+A closure-captured variables tree becomes embedded constants — a
+flagship checkpoint inlines ~1.2 GB into the program, which breaks (and
+at best bloats) TPU compilation. Every function returned here calls an
+inner jit with `variables` passed per call; callers must NOT wrap these
+host-level functions in another jax.jit (that would re-inline the
+closure as constants).
 
-Text features come precomputed from `TextFeatureCache`, so per-request
-label lists swap in with zero retracing (only K changes shape, one
-compile per distinct K).
-
-The XLA path (`use_pallas=False`, the default) computes identical
+The XLA head (`use_pallas=False`, the default) computes identical
 values through `ops.correlation.correlate` + matmul upsample + argmax —
 the Pallas path is cross-checked against it in tests. Measured on v5e
 (interleaved A/B, CLAUDE.md): XLA's own fusion of this head is FASTER
@@ -24,6 +25,7 @@ streaming (no full-res logits in HBM) option.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable
 
 import jax
@@ -41,11 +43,12 @@ def make_predictor(
     use_pallas: bool = False,
     interpret: bool = False,
 ) -> Callable:
-    """(images (N,H,W,3) fp32, text_features (K,C)) -> (N,H,W) int32."""
+    """(images (N,H,W,3) fp32, text_features (K,C)) -> (N,H,W) int32.
+    Host-level callable; params are passed into the jit per call."""
     cfg = model.cfg
 
     @jax.jit
-    def predict(images, text_features):
+    def _predict(variables, images, text_features):
         if cfg.arch_option in (1, 2):
             # spatial-regularization head blocks sit between correlation
             # and upsample; run the full model forward (XLA head)
@@ -62,15 +65,13 @@ def make_predictor(
         up = upsample2x(logits, align_corners=True)
         return jnp.argmax(up, axis=-1).astype(jnp.int32)
 
-    return predict
+    return functools.partial(_predict, variables)
 
 
 def make_logits_fn(model, variables) -> Callable:
     """(images, text_features) -> (N, H, W, K) fp32 logits — the TTA
-    evaluator's crop forward (full LSegNet.__call__ path, XLA head, since
-    TTA sums logits across windows/scales before any argmax)."""
-
-    def logits(images, text_features):
-        return model.apply(variables, images, text_features)
-
-    return logits
+    evaluator's crop forward (full LSegNet.__call__ path, XLA head,
+    since TTA sums logits across windows/scales before any argmax).
+    Host-level callable (see module docstring); do not re-jit."""
+    jfwd = jax.jit(model.apply)
+    return functools.partial(jfwd, variables)

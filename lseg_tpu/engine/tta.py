@@ -250,7 +250,10 @@ def _make_accumulate(proto: TTAProtocol, apply_fn, num_classes: int,
     def normalize(canvases, counts):
         return canvases / jnp.maximum(counts, 1.0)
 
-    forward = jax.jit(apply_fn)
+    # apply_fn is a host-level callable whose params live INSIDE its own
+    # jit as arguments (engine/serve.make_logits_fn). Re-jitting it here
+    # would inline the weights as constants — see serve.py docstring.
+    forward = apply_fn
 
     @jax.jit
     def flip_cat(patches):

@@ -35,10 +35,9 @@ def _model_and_inputs():
         jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), txt
     )
 
-    def apply_fn(images, text_features):
-        return model.apply(variables, images, text_features)
+    from lseg_tpu.engine.serve import make_logits_fn
 
-    return apply_fn, image, txt
+    return make_logits_fn(model, variables), image, txt
 
 
 def _oracle(apply_fn, image, txt, proto, num_classes):

@@ -93,8 +93,9 @@ def main():
     else:
         small = pil.resize((480, 360), Image.BILINEAR)
         img = normalize(np.asarray(small, np.uint8)).astype(np.float32)
-        x = np.pad(img, ((4, 4), (0, 0), (0, 0)), constant_values=-1.0)
-        pred = np.asarray(predictor(jnp.asarray(x[None]), txt))[0][4:-4]
+        # decoder needs multiples of 32: pad 360 -> 384, crop back
+        x = np.pad(img, ((12, 12), (0, 0), (0, 0)), constant_values=-1.0)
+        pred = np.asarray(predictor(jnp.asarray(x[None]), txt))[0][12:-12]
         shown = np.asarray(small, np.uint8)
 
     pal = class_palette(len(labels))

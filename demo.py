@@ -24,8 +24,11 @@ def parse_args():
     p.add_argument("--image", required=True)
     p.add_argument("--labels", required=True,
                    help="comma-separated label list")
-    p.add_argument("--weights", required=True)
-    p.add_argument("--bpe_vocab", required=True)
+    p.add_argument("--weights", required=True,
+                   help="reference .ckpt, or 'random' for a smoke run "
+                        "with random weights (no text tower)")
+    p.add_argument("--bpe_vocab", default=None,
+                   help="CLIP BPE vocab (required unless --weights random)")
     p.add_argument("--backbone", default="clip_vitl16_384")
     p.add_argument("--out", default="demo_out.png")
     p.add_argument("--tta", action="store_true")
@@ -50,10 +53,23 @@ def main():
     labels = [s.strip() for s in args.labels.split(",") if s.strip()]
     cfg = get_config(args.backbone)
     model = LSegNet(cfg, dtype=jnp.bfloat16)
-    variables, text_vars = load_reference_checkpoint(args.weights, cfg)
-    tok = ClipBPETokenizer.from_file(args.bpe_vocab)
-    cache = TextFeatureCache(cfg.text, text_vars, tok)
-    txt = cache(tuple(labels))
+    if args.weights == "random":
+        import jax
+
+        print("SMOKE MODE: random weights + random label embeddings")
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, 480, 480, 3)),
+            jnp.zeros((len(labels), cfg.out_c)),
+        )
+        txt = jax.random.normal(
+            jax.random.PRNGKey(1), (len(labels), cfg.out_c)
+        )
+    else:
+        variables, text_vars = load_reference_checkpoint(args.weights, cfg)
+        tok = ClipBPETokenizer.from_file(args.bpe_vocab)
+        cache = TextFeatureCache(cfg.text, text_vars, tok)
+        txt = cache(tuple(labels))
 
     pil = Image.open(args.image).convert("RGB")
     if args.tta:
@@ -64,14 +80,15 @@ def main():
         pred = ev(img.astype(np.float32), txt)
         shown = np.asarray(pil, np.uint8)
     else:
-        # app preprocessing: Resize([360, 480]) (lseg_app.py:328-334)
+        # app preprocessing: Resize([360, 480]) (lseg_app.py:328-334);
+        # the decoder needs multiples of 32 (the reference's DPT Resize
+        # uses ensure_multiple_of=32), so pad 360 -> 384 and crop back
         small = pil.resize((480, 360), Image.BILINEAR)
         img = normalize(np.asarray(small, np.uint8)).astype(np.float32)
-        # pad to patch multiple (368) for the ViT; crop logits back
-        x = np.pad(img, ((4, 4), (0, 0), (0, 0)), constant_values=-1.0)
+        x = np.pad(img, ((12, 12), (0, 0), (0, 0)), constant_values=-1.0)
         predictor = make_predictor(model, variables)
         pred = np.asarray(predictor(jnp.asarray(x[None]), txt))[0]
-        pred = pred[4:-4]
+        pred = pred[12:-12]
         shown = np.asarray(small, np.uint8)
 
     pal = class_palette(len(labels))

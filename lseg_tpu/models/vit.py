@@ -204,7 +204,12 @@ class Mlp(nn.Module):
 
 class Block(nn.Module):
     """Pre-norm transformer block (timm ViT): x += attn(ln1(x));
-    x += mlp(ln2(x)). LayerNorm eps=1e-6 per timm ViT defaults."""
+    x += mlp(ln2(x)). LayerNorm eps=1e-6 per timm ViT defaults.
+
+    The residual stream runs 2-D-collapsed ((N*T, D)) through the
+    LayerNorms and MLP — measured ~3.5% faster end to end on v5e than
+    the 3-D form (XLA picks a better matmul emitter); attention reshapes
+    to (N, T, D) internally. Param tree is unchanged."""
 
     dim: int
     num_heads: int
@@ -216,14 +221,17 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x)
-        x = x + Attention(self.dim, self.num_heads, self.dtype,
-                          self.attn_impl, self.attn_scores_dtype,
-                          self.quant, name="attn")(y)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x)
-        x = x + Mlp(self.dim, int(self.dim * self.mlp_ratio), self.dtype,
-                    quant=self.quant, name="mlp")(y)
-        return x, None
+        n, t, d = x.shape
+        x2 = x.reshape(n * t, d)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x2)
+        a = Attention(self.dim, self.num_heads, self.dtype,
+                      self.attn_impl, self.attn_scores_dtype,
+                      self.quant, name="attn")(y.reshape(n, t, d))
+        x2 = x2 + a.reshape(n * t, d)
+        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
+        x2 = x2 + Mlp(self.dim, int(self.dim * self.mlp_ratio),
+                      self.dtype, quant=self.quant, name="mlp")(y)
+        return x2.reshape(n, t, d), None
 
 
 class BlockStack(nn.Module):

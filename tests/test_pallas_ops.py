@@ -88,3 +88,24 @@ def test_serve_predictor_arch_option_path():
     pred = make_predictor(model, v)(x, txt)
     ref = jnp.argmax(model.apply(v, x, txt), -1)
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref))
+
+
+def test_pallas_dense_residual_matches_xla():
+    from lseg_tpu.ops.pallas_dense import dense_residual
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(70, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(128, 96).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.randn(96).astype(np.float32))
+    r = jnp.asarray(rng.randn(70, 96).astype(np.float32))
+    ref = np.asarray(x @ w + b + r)
+    got = np.asarray(dense_residual(
+        x, w, b, r, tile_m=32, out_dtype=jnp.float32, interpret=True
+    ))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-4)
+    # no-residual path
+    got2 = np.asarray(dense_residual(
+        x, w, b, tile_m=32, out_dtype=jnp.float32, interpret=True
+    ))
+    np.testing.assert_allclose(got2, np.asarray(x @ w + b),
+                               rtol=1e-4, atol=1e-4)

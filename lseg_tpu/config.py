@@ -48,6 +48,9 @@ class ViTConfig:
     # int8 dynamic-quant projections in attention/MLP (serving mode;
     # v5e int8 MXU runs at 2x bf16 peak). Param tree is unchanged.
     quant_int8: bool = False
+    # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
+    # (~12% faster end to end on v5e; validate mIoU before adopting)
+    mlp_gelu: str = "exact"
 
 
 @dataclasses.dataclass(frozen=True)

@@ -188,17 +188,23 @@ class Attention(nn.Module):
 
 
 class Mlp(nn.Module):
-    """timm ViT MLP: fc1 -> exact GELU -> fc2."""
+    """timm ViT MLP: fc1 -> GELU -> fc2. `gelu='exact'` (erf) matches
+    timm/torch bit-for-bit and is the parity default; `gelu='tanh'`
+    (the tanh approximation) is ~12% faster end to end on v5e (the erf
+    transcendentals dominate the fc2 fusion) at a small, weights-were-
+    trained-with-erf numerical deviation — validate mIoU before using
+    it for reported numbers."""
 
     dim: int
     hidden: int
     dtype: Any = jnp.float32
     quant: bool = False
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = _dense(self.hidden, self.dtype, "fc1", self.quant)(x)
-        x = jax.nn.gelu(x, approximate=False)
+        x = jax.nn.gelu(x, approximate=(self.gelu == "tanh"))
         return _dense(self.dim, self.dtype, "fc2", self.quant)(x)
 
 
@@ -218,6 +224,7 @@ class Block(nn.Module):
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
     quant: bool = False
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -230,7 +237,8 @@ class Block(nn.Module):
         x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
         x2 = x2 + Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                      self.dtype, quant=self.quant, name="mlp")(y)
+                      self.dtype, quant=self.quant, gelu=self.gelu,
+                      name="mlp")(y)
         return x2.reshape(n, t, d), None
 
 
@@ -250,6 +258,7 @@ class BlockStack(nn.Module):
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
     quant: bool = False
+    gelu: str = "exact"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -269,6 +278,7 @@ class BlockStack(nn.Module):
             attn_impl=self.attn_impl,
             attn_scores_dtype=self.attn_scores_dtype,
             quant=self.quant,
+            gelu=self.gelu,
             name="blocks",
         )(x, None)
         return x
@@ -350,6 +360,7 @@ class DenseViT(nn.Module):
                     else jnp.float32
                 ),
                 quant=cfg.quant_int8,
+                gelu=cfg.mlp_gelu,
                 name=f"seg{i}",
             )(x)
             taps.append(x)

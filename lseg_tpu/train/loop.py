@@ -94,24 +94,22 @@ def fit(
 
     for epoch in range(start_epoch, cfg.max_epochs):
         t0 = time.time()
-        running = {"loss": 0.0, "correct": 0.0, "labeled": 0.0}
+        last_loss = float("nan")
         n_steps = 0
         for batch in train_loader:
             state, metrics = train_step(state, batch, text_features)
             n_steps += 1
+            # device sync (float()) only at log points: the step stream
+            # stays async between them
             if n_steps % cfg.log_every == 0:
-                running["loss"] = float(metrics["loss"])
-                running["correct"] += float(metrics["correct"])
-                running["labeled"] += float(metrics["labeled"])
-                log(
-                    f"epoch {epoch} step {n_steps} "
-                    f"loss {running['loss']:.4f}"
-                )
+                last_loss = float(metrics["loss"])
+                log(f"epoch {epoch} step {n_steps} "
+                    f"loss {last_loss:.4f}")
         epoch_time = time.time() - t0
 
         row = {
             "epoch": epoch,
-            "loss": running["loss"],
+            "loss": last_loss,
             "epoch_time_s": round(epoch_time, 2),
             "val_acc": "",
             "val_miou": "",

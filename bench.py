@@ -37,20 +37,14 @@ def main() -> None:
                       "/tmp/lseg_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    import dataclasses
-
-    from lseg_tpu.config import get_config
+    from lseg_tpu.config import fast_serving, get_config
     from lseg_tpu.models.lseg import LSegNet
 
-    # serving configuration: bf16 attention-score stream (A/B-measured
-    # 1.76x end-to-end on v5e vs fp32 scores; see CLAUDE.md — accuracy
-    # delta to be validated against a reference checkpoint)
-    base = get_config("clip_vitl16_384")
-    cfg = dataclasses.replace(
-        base, vit=dataclasses.replace(
-            base.vit, attn_scores_dtype="bfloat16"
-        ),
-    )
+    # The documented fast-serving configuration (bf16 attention scores +
+    # tanh GELU + bf16 head) — model-level drift bounds and argmax-
+    # agreement tests in tests/test_quant.py; evaluate.py defaults to
+    # the parity config and opts into this via --fast.
+    cfg = fast_serving(get_config("clip_vitl16_384"))
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     batch = 8

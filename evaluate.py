@@ -47,8 +47,10 @@ def parse_args():
                    help="write the loaded weights as a raw .npz and exit "
                         "(the reference's test_lseg.py --export path)")
     p.add_argument("--fast", action="store_true",
-                   help="bf16 attention-score serving config "
-                        "(1.76x throughput; validate mIoU delta)")
+                   help="fast serving config (bf16 attention scores + "
+                        "tanh GELU + bf16 head; see "
+                        "lseg_tpu.config.fast_serving). Default is the "
+                        "parity config.")
     p.add_argument("--arch_option", type=int, default=0)
     p.add_argument("--block_depth", type=int, default=0)
     p.add_argument("--activation", default="lrelu")
@@ -74,10 +76,9 @@ def main():
         block_depth=args.block_depth, activation=args.activation,
     )
     if args.fast:
-        import dataclasses
+        from lseg_tpu.config import fast_serving
 
-        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
-            cfg.vit, attn_scores_dtype="bfloat16"))
+        cfg = fast_serving(cfg)
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     variables, text_vars = load_reference_checkpoint(args.weights, cfg)
     if args.export:
@@ -139,10 +140,17 @@ def main():
         )
         n = min(len(ds), args.limit) if args.limit else len(ds)
         bs = args.batch_size
-        for i in range(0, n - n % bs, bs):
-            batch = [ds[j] for j in range(i, i + bs)]
+        # tail batch: pad by repeating the last image so every image is
+        # evaluated (the reference evaluates all; pad rows' metrics are
+        # masked out below with an all-ignore target)
+        for i in range(0, n, bs):
+            idx = list(range(i, min(i + bs, n)))
+            pad = bs - len(idx)
+            batch = [ds[j] for j in idx] + [ds[idx[-1]]] * pad
             imgs = jnp.asarray(np.stack([b["image"] for b in batch]))
             tgts = np.stack([b["target"] for b in batch])
+            if pad:
+                tgts[len(idx):] = -1  # ignore_index: zero metric weight
             c, l, it, u = ev.metrics(imgs, jnp.asarray(tgts), txt)
             metric.total_correct += float(c)
             metric.total_label += float(l)

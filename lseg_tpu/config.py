@@ -11,7 +11,7 @@ lseg_net_zs.py:121-129,157-162).
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Tuple
+from typing import Any, Optional, Tuple
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,9 +45,12 @@ class ViTConfig:
     # 'float32' (safe default) or 'bfloat16' — dtype of the attention
     # score matrix; bf16 halves its HBM stream
     attn_scores_dtype: str = "float32"
-    # int8 dynamic-quant projections in attention/MLP (serving mode;
-    # v5e int8 MXU runs at 2x bf16 peak). Param tree is unchanged.
-    quant_int8: bool = False
+    # int8 projections in attention/MLP (serving modes; v5e int8 MXU
+    # runs at 2x bf16 peak). False (default) | True/'dynamic' (weights
+    # quantized per call, param tree unchanged — measured slower than
+    # bf16 on v5e) | 'static' (pre-quantized serving tree via
+    # `lseg_tpu.ops.quant.quantize_tree`).
+    quant_int8: Any = False
     # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
     # (~12% faster end to end on v5e; validate mIoU before adopting)
     mlp_gelu: str = "exact"
@@ -101,6 +104,10 @@ class LSegConfig:
     # logit temperature: exp(log(1/0.07)); a *constant* in the reference
     # (non-leaf `nn.Parameter(...).exp()`, lseg_net.py:141)
     logit_scale: float = 1.0 / 0.07
+    # compute dtype of the correlation + output-upsample head:
+    # 'float32' (parity default) or 'bfloat16' (fast serving — halves
+    # the (N, H/2, W/2, K) logit streams)
+    head_dtype: str = "float32"
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32
@@ -154,6 +161,36 @@ BACKBONES = {
         backbone="clip_resnet101", resnet=ResNetConfig()
     ),
 }
+
+
+def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
+    """The documented fast-serving configuration (bench.py's config).
+
+    Parity config (the default everywhere else): exact erf GELU, fp32
+    attention scores, fp32 correlation/upsample head — matches the
+    reference bit-for-bit modulo bf16 matmul rounding.
+
+    Fast config (this): three measured, bounded-drift serving knobs —
+    - bf16 attention-score stream (1.76x end to end, round 1);
+    - tanh-approx GELU (~12%; drift quantified at model level in
+      tests/test_quant.py::test_tanh_gelu_drift_is_small);
+    - bf16 correlation+upsample head (+3.7%; argmax agreement vs the
+      fp32 head tested in tests/test_quant.py).
+    `quant='static'` additionally enables the pre-quantized int8
+    projection path (serve the tree through
+    `lseg_tpu.ops.quant.quantize_tree`).
+
+    evaluate.py defaults to parity and opts into this via `--fast`.
+    """
+    vit = cfg.vit
+    if vit is not None:
+        vit = dataclasses.replace(
+            vit,
+            attn_scores_dtype="bfloat16",
+            mlp_gelu="tanh",
+            quant_int8=quant if quant else vit.quant_int8,
+        )
+    return dataclasses.replace(cfg, vit=vit, head_dtype="bfloat16")
 
 
 def get_config(

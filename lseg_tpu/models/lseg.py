@@ -109,14 +109,21 @@ class LSegNet(nn.Module):
         if text_features is None:
             return image_features
 
+        # head compute dtype: fp32 for parity; bf16 for the fast serving
+        # config (halves the (N, H/2, W/2, K) logit streams; drift bounds
+        # in tests/test_quant.py)
+        hd = (jnp.bfloat16 if cfg.head_dtype == "bfloat16"
+              else jnp.float32)
         out = correlate(
             image_features,
             text_features,
             logit_scale=cfg.logit_scale,
             emulate_fp16=self.emulate_fp16,
+            compute_dtype=hd,
         )
 
         if cfg.arch_option in (1, 2):
+            out = out.astype(jnp.float32)
             block_cls = (
                 BottleneckHeadBlock if cfg.arch_option == 1
                 else DepthwiseHeadBlock
@@ -128,7 +135,9 @@ class LSegNet(nn.Module):
             for _ in range(cfg.block_depth - 1):
                 out = head_block(out, act=True)
             out = head_block(out, act=False)
+            out = out.astype(hd)
 
         # Output head: ×2 bilinear to full crop resolution
         # (reference: lseg_net.py:219-221,203).
-        return upsample2x(out.astype(jnp.float32), align_corners=True)
+        return upsample2x(out, align_corners=True,
+                          compute_dtype=hd).astype(jnp.float32)

@@ -27,13 +27,20 @@ import jax
 import jax.numpy as jnp
 
 from lseg_tpu.config import ViTConfig
-from lseg_tpu.ops.quant import QuantDense
+from lseg_tpu.ops.quant import QuantDense, StaticQuantDense
 from lseg_tpu.ops.resize import resize_bilinear
 
 
 def _dense(features, dtype, name, quant):
-    """nn.Dense or its int8 dynamic-quant drop-in (same param tree)."""
-    if quant:
+    """nn.Dense or an int8-quantized drop-in.
+
+    quant: False/'none' -> nn.Dense; True/'dynamic' -> QuantDense (same
+    param tree, weights quantized per call); 'static' -> StaticQuantDense
+    (serving tree from `lseg_tpu.ops.quant.quantize_tree`).
+    """
+    if quant in ("static",):
+        return StaticQuantDense(features, dtype=dtype, name=name)
+    if quant in (True, "dynamic"):
         return QuantDense(features, dtype=dtype, name=name)
     return nn.Dense(features, dtype=dtype, name=name)
 
@@ -153,7 +160,7 @@ class Attention(nn.Module):
     # softmax (softmax itself still reduces in fp32 via jax.nn.softmax's
     # internal upcast of max/sum on bf16 inputs).
     scores_dtype: Any = jnp.float32
-    quant: bool = False  # int8 dynamic-quant projections (serving)
+    quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -198,7 +205,7 @@ class Mlp(nn.Module):
     dim: int
     hidden: int
     dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
     gelu: str = "exact"
 
     @nn.compact
@@ -223,7 +230,7 @@ class Block(nn.Module):
     dtype: Any = jnp.float32
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
     gelu: str = "exact"
 
     @nn.compact
@@ -257,7 +264,7 @@ class BlockStack(nn.Module):
     remat: bool = False
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
-    quant: bool = False
+    quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
     gelu: str = "exact"
 
     @nn.compact

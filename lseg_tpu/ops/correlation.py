@@ -36,8 +36,11 @@ def correlate(
     text_features: jnp.ndarray,   # (K, C)
     logit_scale: float = 1.0 / 0.07,
     emulate_fp16: bool = False,
+    compute_dtype=jnp.float32,
 ) -> jnp.ndarray:
-    """Temperature-scaled cosine similarity logits (N, H, W, K), fp32."""
+    """Temperature-scaled cosine similarity logits (N, H, W, K) in
+    `compute_dtype` (fp32 default; bfloat16 halves the NHWK logit
+    stream for the fast serving head — normalization stays fp32)."""
     img = l2_normalize(image_features.astype(jnp.float32))
     txt = l2_normalize(text_features.astype(jnp.float32))
     if emulate_fp16:
@@ -53,7 +56,8 @@ def correlate(
     # read+write of the (N, H, W, K) logit tensor (profiler: ~0.75 ms
     # per batch-8 480-crop); identical math in fp32
     logits = jnp.einsum(
-        "nhwc,kc->nhwk", img, logit_scale * txt,
+        "nhwc,kc->nhwk", img.astype(compute_dtype),
+        (logit_scale * txt).astype(compute_dtype),
         preferred_element_type=jnp.float32,
     )
-    return logits.astype(jnp.float32)
+    return logits.astype(compute_dtype)

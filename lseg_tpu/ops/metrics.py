@@ -3,9 +3,9 @@
 Replaces the reference's PyTorch-Encoding CUDA metric kernels
 (`batch_pix_accuracy`, `batch_intersection_union`, `SegmentationMetric`,
 reference: modules/lsegmentation_module.py:18,24,86-112 and
-test_lseg.py:319) with one-hot scatter-add confusion accumulation that
-XLA lowers to dense on-device ops — and reduces across the mesh with
-`psum` instead of gathering predictions to host (SURVEY.md §5).
+test_lseg.py:319) with weighted-bincount (segment-sum) confusion
+accumulation on device — and reduces across the mesh with `psum`
+instead of gathering predictions to host (SURVEY.md §5).
 
 Semantics match encoding exactly:
 - predictions are argmax+1, targets are shifted +1, pixels with shifted
@@ -44,13 +44,16 @@ def seg_update(
     labeled = jnp.sum(valid)
     correct = jnp.sum((pred == tgt) & valid)
 
-    ph = jax.nn.one_hot(jnp.where(valid, pred, nclass), nclass + 1,
-                        dtype=jnp.float32)[..., :nclass]
-    th = jax.nn.one_hot(jnp.where(valid, tgt, nclass), nclass + 1,
-                        dtype=jnp.float32)[..., :nclass]
-    inter = jnp.sum(ph * th, axis=(0, 1, 2))
-    area_pred = jnp.sum(ph, axis=(0, 1, 2))
-    area_tgt = jnp.sum(th, axis=(0, 1, 2))
+    # Per-class areas as weighted bincounts (segment_sum scatter-adds):
+    # O(N*H*W) work and memory, vs the (N, H, W, K) fp32 one-hot pair
+    # this replaces (~2x1.1 GB of intermediate at eval batch 8 / K=150
+    # if XLA failed to fuse it). Invalid pixels carry weight 0.
+    w = valid.reshape(-1).astype(jnp.float32)
+    pf = pred.reshape(-1)
+    tf = tgt.reshape(-1)
+    area_pred = jax.ops.segment_sum(w, pf, num_segments=nclass)
+    area_tgt = jax.ops.segment_sum(w, tf, num_segments=nclass)
+    inter = jax.ops.segment_sum(w * (pf == tf), tf, num_segments=nclass)
     union = area_pred + area_tgt - inter
     return correct, labeled, inter, union
 

@@ -91,8 +91,10 @@ def resize_bilinear(
     return x
 
 
-def upsample2x(x: jnp.ndarray, align_corners: bool = True) -> jnp.ndarray:
+def upsample2x(x: jnp.ndarray, align_corners: bool = True,
+               compute_dtype=jnp.float32) -> jnp.ndarray:
     """×2 bilinear upsample of an NHWC tensor (the fusion-block / output-head
     path, reference: lseg_blocks.py:352-354, lseg_net.py:219-221)."""
     n, h, w, c = x.shape
-    return resize_bilinear(x, 2 * h, 2 * w, align_corners=align_corners)
+    return resize_bilinear(x, 2 * h, 2 * w, align_corners=align_corners,
+                           compute_dtype=compute_dtype)

@@ -1,4 +1,5 @@
-"""Int8 dynamic-quant matmul path: numerics and model-level fidelity."""
+"""Int8 quantized matmul paths and fast-serving config: numerics and
+model-level fidelity/drift bounds."""
 
 import dataclasses
 
@@ -6,8 +7,15 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from lseg_tpu.config import fast_serving
 from lseg_tpu.models.lseg import LSegNet
-from lseg_tpu.ops.quant import QuantDense, int8_matmul, quantize_rows
+from lseg_tpu.ops.quant import (
+    QuantDense,
+    StaticQuantDense,
+    int8_matmul,
+    quantize_rows,
+    quantize_tree,
+)
 from lseg_tpu.testing import tiny_vit_config
 
 
@@ -70,6 +78,85 @@ def test_quant_model_close_to_fp_model():
         np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
     )
     assert cos > 0.99, cos
+
+
+def test_static_quant_dense_matches_dynamic():
+    """StaticQuantDense on a quantize_tree'd fp32 kernel reproduces
+    QuantDense (same quantization grid) bit-for-bit."""
+    import flax.linen as nn
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(4, 32).astype(np.float32))
+    vd = nn.Dense(24).init(jax.random.PRNGKey(0), x)
+    # wrap the Dense params under an attn/qkv path so quantize_tree's
+    # default leaf matcher fires
+    tree = {"attn": {"qkv": vd["params"]}}
+    qtree = quantize_tree(tree)
+    assert qtree["attn"]["qkv"]["kernel_q"].dtype == jnp.int8
+    assert qtree["attn"]["qkv"]["scale"].shape == (24,)
+    out_dyn = QuantDense(24, dtype=jnp.float32).apply(vd, x)
+    out_sta = StaticQuantDense(24, dtype=jnp.float32).apply(
+        {"params": qtree["attn"]["qkv"]}, x
+    )
+    np.testing.assert_array_equal(np.asarray(out_dyn), np.asarray(out_sta))
+
+
+def test_static_quant_model_from_quantize_tree():
+    """End to end: init the fp32 model, quantize_tree the params, run
+    the quant_int8='static' model — structure matches its own init and
+    outputs track the fp32 model."""
+    cfg = tiny_vit_config()
+    cfg_s = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, quant_int8="static")
+    )
+    m = LSegNet(cfg)
+    ms = LSegNet(cfg_s)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"])
+    # serving tree structure == the static model's own init structure
+    ref_shapes = jax.tree_util.tree_map(
+        lambda a: (a.shape, a.dtype),
+        ms.init(jax.random.PRNGKey(0), x, txt)["params"],
+    )
+    got_shapes = jax.tree_util.tree_map(
+        lambda a: (a.shape, a.dtype), vq["params"]
+    )
+    assert ref_shapes == got_shapes
+    o = np.asarray(m.apply(v, x, txt))
+    oq = np.asarray(ms.apply(vq, x, txt))
+    cos = (o * oq).sum() / (
+        np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
+    )
+    assert cos > 0.99, cos
+    agree = (o.argmax(-1) == oq.argmax(-1)).mean()
+    assert agree > 0.97, agree
+
+
+def test_fast_serving_config_drift_bounds():
+    """The unified fast-serving config (bf16 scores + tanh GELU + bf16
+    head): argmax label maps agree almost everywhere with the parity
+    config on a random-init tiny model."""
+    cfg = tiny_vit_config()
+    cfg_f = fast_serving(cfg)
+    assert cfg_f.vit.attn_scores_dtype == "bfloat16"
+    assert cfg_f.vit.mlp_gelu == "tanh"
+    assert cfg_f.head_dtype == "bfloat16"
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    a = np.asarray(m.apply(v, x, txt))
+    b = np.asarray(mf.apply(v, x, txt))
+    assert b.dtype == np.float32  # logits always emitted fp32
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.97, agree
+    assert np.abs(a - b).max() < 0.5, np.abs(a - b).max()
 
 
 def test_bf16_scores_close_to_fp32_scores():

@@ -1,0 +1,152 @@
+"""Interleaved A/B perf measurement on the real TPU.
+
+The relayed v5e shows ±70% run-to-run variance across processes
+(CLAUDE.md), so the ONLY trustworthy comparison is interleaved within
+one process: compile every variant's (n=1, n=1+iters) fori_loop
+programs up front, then alternate timed runs A, B, A, B, ... and
+compare per-iteration slopes per repetition. Spread across reps < a few
+% means the delta is real.
+
+Usage: python scripts/ab_tpu.py [--batch=8] [--iters=12] [--reps=3]
+       [--variants=base,int8]
+
+Variants are defined in VARIANTS below; add new ones there.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+import json
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/lseg_tpu_jax_cache_tpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from lseg_tpu.config import fast_serving, get_config
+from lseg_tpu.models.lseg import LSegNet
+from lseg_tpu.ops.quant import quantize_tree
+
+
+def _variant_base():
+    cfg = fast_serving(get_config("clip_vitl16_384"))
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    return cfg, model, lambda params: params
+
+
+def _variant_int8():
+    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    return cfg, model, quantize_tree
+
+
+def _variant_flash():
+    cfg = fast_serving(get_config("clip_vitl16_384"))
+    cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash"))
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    return cfg, model, lambda params: params
+
+
+def _variant_int8_flash():
+    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
+    cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash"))
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    return cfg, model, quantize_tree
+
+
+VARIANTS = {
+    "base": _variant_base,
+    "int8": _variant_int8,
+    "flash": _variant_flash,
+    "int8_flash": _variant_int8_flash,
+}
+
+
+def main() -> None:
+    batch, iters, reps = 8, 12, 3
+    names = ["base", "int8"]
+    for arg in sys.argv[1:]:
+        if arg.startswith("--batch="):
+            batch = int(arg.split("=")[1])
+        elif arg.startswith("--iters="):
+            iters = int(arg.split("=")[1])
+        elif arg.startswith("--reps="):
+            reps = int(arg.split("=")[1])
+        elif arg.startswith("--variants="):
+            names = arg.split("=")[1].split(",")
+
+    key = jax.random.PRNGKey(0)
+    x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
+    x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
+
+    # One fp32 init shared by all variants (identical weights -> any
+    # throughput delta is the code path, not the data).
+    cfg0, model0, _ = VARIANTS["base"]()
+    txt = jax.random.normal(key, (150, cfg0.out_c), jnp.float32)
+    v0 = jax.jit(model0.init)(key, x1, txt)
+
+    runners = {}
+    for name in names:
+        cfg, model, prep = VARIANTS[name]()
+        v = dict(v0)
+        v["params"] = prep(v0["params"])
+
+        @functools.partial(jax.jit, static_argnames=("n",))
+        def run(vv, xx, tt, n, model=model):
+            def body(i, acc):
+                xi = xx + (i.astype(jnp.float32) * 1e-6)
+                pred = jnp.argmax(model.apply(vv, xi, tt), axis=-1)
+                return acc + jnp.sum(pred, dtype=jnp.int32)
+            return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+
+        def timed(n, run=run, v=v):
+            t0 = time.perf_counter()
+            val = int(run(v, x, txt, n))
+            assert val != -1
+            return time.perf_counter() - t0
+
+        # compile both program sizes now (cache-served if warm)
+        t0 = time.perf_counter()
+        timed(1)
+        timed(1 + iters)
+        print(f"# compiled {name} in {time.perf_counter() - t0:.1f}s",
+              flush=True)
+        runners[name] = timed
+
+    results = {n: [] for n in names}
+    for rep in range(reps):
+        t1 = {n: runners[n](1) for n in names}
+        tn = {n: runners[n](1 + iters) for n in names}
+        # second pass, reversed order, take min (guards one-off stalls)
+        for n in reversed(names):
+            t1[n] = min(t1[n], runners[n](1))
+            tn[n] = min(tn[n], runners[n](1 + iters))
+        for n in names:
+            per = (tn[n] - t1[n]) / iters
+            results[n].append(per)
+            print(json.dumps({
+                "rep": rep, "variant": n,
+                "per_iter_ms": round(per * 1e3, 2),
+                "img_per_sec": round(batch / per, 2),
+            }), flush=True)
+
+    print("# summary", flush=True)
+    for n in names:
+        best = min(results[n])
+        print(json.dumps({
+            "variant": n,
+            "best_per_iter_ms": round(best * 1e3, 2),
+            "best_img_per_sec": round(batch / best, 2),
+            "all_ms": [round(p * 1e3, 1) for p in results[n]],
+        }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

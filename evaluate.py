@@ -19,17 +19,19 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser("lseg_tpu evaluator")
-    p.add_argument("--dataset", default="ade20k")
+    p.add_argument("--dataset", default="ade20k",
+                   choices=["ade20k", "citys"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
     p.add_argument("--weights", required=True)
     p.add_argument("--bpe_vocab", required=True)
     p.add_argument("--backbone", default="clip_vitl16_384")
-    p.add_argument("--base_size", type=int, default=520)
-    p.add_argument("--crop_size", type=int, default=480)
-    p.add_argument("--scales", type=float, nargs="+",
-                   default=[0.5, 0.75, 1.0, 1.25, 1.5, 1.75])
+    # base/crop/scales default per dataset (reference: lseg_module.py:29-34
+    # base 520/crop 480, citys 2048/768; test_lseg.py:308-312 citys scales)
+    p.add_argument("--base_size", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None)
+    p.add_argument("--scales", type=float, nargs="+", default=None)
     p.add_argument("--no-tta", dest="no_tta", action="store_true",
                    help="single-scale 480 center protocol instead")
     p.add_argument("--no-flip", dest="no_flip", action="store_true")
@@ -57,10 +59,35 @@ def parse_args():
     return p.parse_args()
 
 
+_DATASET_DEFAULTS = {
+    # name -> (base_size, crop_size, scales)
+    "ade20k": (520, 480, (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)),
+    "citys": (2048, 768, (0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25)),
+}
+
+
+def _make_dataset(name, data_path, split, mode, base_size, crop_size):
+    if name == "citys":
+        from lseg_tpu.data.cityscapes import CitySegmentation
+
+        return CitySegmentation(data_path, split, mode=mode,
+                                base_size=base_size, crop_size=crop_size)
+    from lseg_tpu.data.ade20k import ADE20KSegmentation
+
+    return ADE20KSegmentation(data_path, split, mode=mode,
+                              base_size=base_size, crop_size=crop_size)
+
+
 def main():
     args = parse_args()
+    base_d, crop_d, scales_d = _DATASET_DEFAULTS[args.dataset]
+    if args.base_size is None:
+        args.base_size = base_d
+    if args.crop_size is None:
+        args.crop_size = crop_d
+    if args.scales is None:
+        args.scales = list(scales_d)
     from lseg_tpu.config import get_config
-    from lseg_tpu.data.ade20k import ADE20KSegmentation
     from lseg_tpu.data.labels import get_labels
     from lseg_tpu.engine.eval_single import SingleScaleEvaluator
     from lseg_tpu.engine.serve import make_logits_fn
@@ -94,9 +121,9 @@ def main():
     if args.acc_bn:
         from lseg_tpu.utils.precise_bn import update_bn_stats
 
-        train_ds = ADE20KSegmentation(
-            args.data_path, "train", base_size=args.base_size,
-            crop_size=args.crop_size,
+        train_ds = _make_dataset(
+            args.dataset, args.data_path, "train", "train",
+            args.base_size, args.crop_size,
         )
 
         def bn_apply(v, batch):
@@ -131,9 +158,9 @@ def main():
     t0 = time.time()
 
     if args.no_tta:
-        ds = ADE20KSegmentation(
-            args.data_path, "val", mode="val",
-            base_size=args.base_size, crop_size=args.crop_size,
+        ds = _make_dataset(
+            args.dataset, args.data_path, "val", "val",
+            args.base_size, args.crop_size,
         )
         ev = SingleScaleEvaluator(
             logits_fn, len(labels), flip=not args.no_flip
@@ -161,7 +188,8 @@ def main():
                 print(f"[{i + bs}/{n}] pixAcc {pa:.4f} mIoU {miou:.4f}",
                       flush=True)
     else:
-        ds = ADE20KSegmentation(args.data_path, "val", mode="testval")
+        ds = _make_dataset(args.dataset, args.data_path, "val", "testval",
+                           args.base_size, args.crop_size)
         proto = TTAProtocol(
             base_size=args.base_size, crop_size=args.crop_size,
             scales=tuple(args.scales), flip=not args.no_flip,

@@ -41,7 +41,7 @@ def get_labels(dataset: str, label_dir: str = None) -> List[str]:
     if label_dir is None:
         path = os.path.join(
             _PACKAGED,
-            "ade20k.txt" if dataset == "ade20k"
+            f"{dataset}.txt" if dataset in ("ade20k", "citys")
             else f"fewshot_{dataset}.txt",
         )
         if os.path.exists(path):

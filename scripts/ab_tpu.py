@@ -30,42 +30,87 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from lseg_tpu.config import fast_serving, get_config
 from lseg_tpu.models.lseg import LSegNet
+from lseg_tpu.ops.correlation import correlate
+from lseg_tpu.ops.pallas_correlation import fused_correlate
+from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax
 from lseg_tpu.ops.quant import quantize_tree
+from lseg_tpu.ops.resize import upsample2x
 
 
-def _variant_base():
-    cfg = fast_serving(get_config("clip_vitl16_384"))
-    model = LSegNet(cfg, dtype=jnp.bfloat16)
-    return cfg, model, lambda params: params
+def _default_fwd(model, cfg):
+    def fwd(v, x, t):
+        return jnp.argmax(model.apply(v, x, t), axis=-1)
+    return fwd
 
 
-def _variant_int8():
-    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
-    model = LSegNet(cfg, dtype=jnp.bfloat16)
-    return cfg, model, quantize_tree
+def _mk(cfg_fn, prep=lambda p: p, fwd_fn=_default_fwd):
+    def build():
+        cfg = cfg_fn()
+        model = LSegNet(cfg, dtype=jnp.bfloat16)
+        return cfg, model, prep, fwd_fn(model, cfg)
+    return build
 
 
-def _variant_flash():
-    cfg = fast_serving(get_config("clip_vitl16_384"))
-    cfg = dataclasses.replace(
+def _cfg_base():
+    return fast_serving(get_config("clip_vitl16_384"))
+
+
+def _cfg_int8():
+    return fast_serving(get_config("clip_vitl16_384"), quant="static")
+
+
+def _cfg_flash():
+    cfg = _cfg_base()
+    return dataclasses.replace(
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash"))
-    model = LSegNet(cfg, dtype=jnp.bfloat16)
-    return cfg, model, lambda params: params
 
 
-def _variant_int8_flash():
-    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
-    cfg = dataclasses.replace(
-        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash"))
-    model = LSegNet(cfg, dtype=jnp.bfloat16)
-    return cfg, model, quantize_tree
+def _fwd_bf16_argmax(model, cfg):
+    """argmax straight on the bf16 upsampled logits (convert to fp32 is
+    monotonic, so the label map is identical) — skips the 1.1 GB fp32
+    logit stream of the full-model path."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = correlate(emb, t, logit_scale=cfg.logit_scale,
+                           compute_dtype=jnp.bfloat16)
+        up = upsample2x(logits, align_corners=True,
+                        compute_dtype=jnp.bfloat16)
+        return jnp.argmax(up, axis=-1)
+    return fwd
+
+
+def _fwd_pallas_head(model, cfg):
+    """XLA correlate (temperature-folded, bf16) + Pallas streamed
+    upsample+argmax (full-res logits never hit HBM)."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = correlate(emb, t, logit_scale=cfg.logit_scale,
+                           compute_dtype=jnp.bfloat16)
+        return upsample2x_argmax(logits)
+    return fwd
+
+
+def _fwd_pallas_full(model, cfg):
+    """Pallas fused correlate + Pallas streamed upsample+argmax."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = fused_correlate(emb, t, logit_scale=cfg.logit_scale)
+        return upsample2x_argmax(logits)
+    return fwd
 
 
 VARIANTS = {
-    "base": _variant_base,
-    "int8": _variant_int8,
-    "flash": _variant_flash,
-    "int8_flash": _variant_int8_flash,
+    "base": _mk(_cfg_base),
+    "int8": _mk(_cfg_int8, prep=quantize_tree),
+    "flash": _mk(_cfg_flash),
+    "int8_flash": _mk(
+        lambda: dataclasses.replace(
+            _cfg_int8(),
+            vit=dataclasses.replace(_cfg_int8().vit, attn_impl="flash")),
+        prep=quantize_tree),
+    "bf16argmax": _mk(_cfg_base, fwd_fn=_fwd_bf16_argmax),
+    "pallas_head": _mk(_cfg_base, fwd_fn=_fwd_pallas_head),
+    "pallas_full": _mk(_cfg_base, fwd_fn=_fwd_pallas_full),
 }
 
 
@@ -88,22 +133,21 @@ def main() -> None:
 
     # One fp32 init shared by all variants (identical weights -> any
     # throughput delta is the code path, not the data).
-    cfg0, model0, _ = VARIANTS["base"]()
+    cfg0, model0, _, _ = VARIANTS["base"]()
     txt = jax.random.normal(key, (150, cfg0.out_c), jnp.float32)
     v0 = jax.jit(model0.init)(key, x1, txt)
 
     runners = {}
     for name in names:
-        cfg, model, prep = VARIANTS[name]()
+        cfg, model, prep, fwd = VARIANTS[name]()
         v = dict(v0)
         v["params"] = prep(v0["params"])
 
         @functools.partial(jax.jit, static_argnames=("n",))
-        def run(vv, xx, tt, n, model=model):
+        def run(vv, xx, tt, n, fwd=fwd):
             def body(i, acc):
                 xi = xx + (i.astype(jnp.float32) * 1e-6)
-                pred = jnp.argmax(model.apply(vv, xi, tt), axis=-1)
-                return acc + jnp.sum(pred, dtype=jnp.int32)
+                return acc + jnp.sum(fwd(vv, xi, tt), dtype=jnp.int32)
             return jax.lax.fori_loop(0, n, body, jnp.int32(0))
 
         def timed(n, run=run, v=v):

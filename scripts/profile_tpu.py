@@ -38,7 +38,7 @@ def main() -> None:
         elif arg.startswith("--top="):
             top = int(arg.split("=")[1])
 
-    cfg, model, prep = VARIANTS[variant]()
+    cfg, model, prep, vfwd = VARIANTS[variant]()
     key = jax.random.PRNGKey(0)
     x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
@@ -48,9 +48,7 @@ def main() -> None:
 
     @jax.jit
     def fwd(vv, xx, tt):
-        return jnp.sum(
-            jnp.argmax(model.apply(vv, xx, tt), axis=-1),
-            dtype=jnp.int32)
+        return jnp.sum(vfwd(vv, xx, tt), dtype=jnp.int32)
 
     int(fwd(v, x, txt))  # compile + warm
     logdir = f"/tmp/lseg_prof_{variant}"

@@ -26,13 +26,15 @@ def parse_args():
     p = argparse.ArgumentParser("lseg_tpu trainer")
     # data (reference lsegmentation_module.py:246-304)
     p.add_argument("--dataset", default="ade20k",
-                   choices=["ade20k", "synthetic"])
+                   choices=["ade20k", "citys", "synthetic"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
     p.add_argument("--batch_size", type=int, default=16)
-    p.add_argument("--base_size", type=int, default=520)
-    p.add_argument("--crop_size", type=int, default=480)
+    # defaults per dataset (reference lseg_module.py:29-34: ade20k
+    # 520/480, citys 2048/768)
+    p.add_argument("--base_size", type=int, default=None)
+    p.add_argument("--crop_size", type=int, default=None)
     p.add_argument("--num_workers", type=int, default=16)
     p.add_argument("--ignore_index", type=int, default=-1)
     # optimizer (reference lsegmentation_module.py:119-175)
@@ -83,18 +85,22 @@ def build_dataset(args):
                                   num_classes=4, seed=1)
         labels = [f"class{i}" for i in range(4)]
         return train, val, labels
-    from lseg_tpu.data.ade20k import ADE20KSegmentation
     from lseg_tpu.data.labels import get_labels
 
-    train = ADE20KSegmentation(
+    if args.dataset == "citys":
+        from lseg_tpu.data.cityscapes import CitySegmentation as DS
+    else:
+        from lseg_tpu.data.ade20k import ADE20KSegmentation as DS
+
+    train = DS(
         args.data_path, "train", base_size=args.base_size,
         crop_size=args.crop_size, ignore_index=args.ignore_index,
     )
-    val = ADE20KSegmentation(
+    val = DS(
         args.data_path, "val", mode="val", base_size=args.base_size,
         crop_size=args.crop_size, ignore_index=args.ignore_index,
     )
-    return train, val, get_labels("ade20k", args.label_dir)
+    return train, val, get_labels(args.dataset, args.label_dir)
 
 
 def get_text_features(args, cfg, labels):
@@ -121,6 +127,10 @@ def get_text_features(args, cfg, labels):
 
 def main():
     args = parse_args()
+    if args.base_size is None:
+        args.base_size = 2048 if args.dataset == "citys" else 520
+    if args.crop_size is None:
+        args.crop_size = 768 if args.dataset == "citys" else 480
     from lseg_tpu.config import get_config
     from lseg_tpu.data.loader import DataLoader
     from lseg_tpu.models.lseg import LSegNet

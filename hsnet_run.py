@@ -37,7 +37,14 @@ def parse_args():
     p.add_argument("--backbone_weights", default=None,
                    help="torchvision resnet101 .pth")
     p.add_argument("--layers", type=int, nargs=4, default=[3, 4, 23, 3])
-    return p.parse_args()
+    p.add_argument("--use_original_imgsize", action="store_true",
+                   help="evaluate at each episode's original query size "
+                        "(reference test.py:63, hsnet.py:55-75); "
+                        "forces bsz=1 (per-episode mask shapes)")
+    args = p.parse_args()
+    if args.use_original_imgsize:
+        args.bsz = 1
+    return args
 
 
 def build(args):
@@ -48,7 +55,9 @@ def build(args):
     )
 
     model = HSNet(resnet=ResNetConfig(layers=tuple(args.layers)),
-                  dtype=jnp.bfloat16)
+                  dtype=jnp.bfloat16,
+                  use_original_imgsize=getattr(
+                      args, "use_original_imgsize", False))
     z = jnp.zeros((1, args.img_size, args.img_size, 3))
     m = jnp.zeros((1, args.img_size, args.img_size), jnp.int32)
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), z, z, m)
@@ -68,6 +77,7 @@ def episodes(args, split):
         args.dataset, args.datapath, args.fold, split,
         max(args.nshot, 1), splits_dir=args.splits_dir,
         img_size=args.img_size, imagenet_norm=True,
+        use_original_imgsize=getattr(args, "use_original_imgsize", False),
     )
 
 
@@ -94,12 +104,19 @@ def main():
             return model.apply(variables, q, s, m)
 
         meter = AverageMeter(ds.class_ids)
-        iu = jax.jit(episode_inter_union)
+        # original-imgsize mode: per-episode mask shapes vary, so the
+        # metric runs unjitted (bsz=1) — only the model forward stays a
+        # single static program
+        iu = (episode_inter_union if args.use_original_imgsize
+              else jax.jit(episode_inter_union))
         n = len(ds)
         for start in range(0, n, args.bsz):
             idxs = list(range(start, min(start + args.bsz, n)))
             batch, cids = stack(idxs)
-            pred = predict_mask_nshot(apply_fn, batch, args.nshot)
+            org = (batch["query_mask"].shape[1:3]
+                   if args.use_original_imgsize else None)
+            pred = predict_mask_nshot(apply_fn, batch, args.nshot,
+                                      org_size=org)
             inter, union = iu(
                 pred, batch["query_mask"], batch["query_ignore"]
             )

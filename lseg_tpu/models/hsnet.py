@@ -167,6 +167,12 @@ class HSNet(nn.Module):
     resnet: ResNetConfig = ResNetConfig()  # (3, 4, 23, 3) = resnet101
     backbone: str = "resnet"
     dtype: Any = jnp.float32
+    # reference --use_original_imgsize protocol (hsnet.py:55-58,
+    # test.py:63): emit logits at the HPN learner's native resolution;
+    # the caller resizes to each episode's ORIGINAL query size before
+    # argmax (predict_mask_nshot org_size=...). Default False = resize
+    # to the (square) network input size inside the model.
+    use_original_imgsize: bool = False
 
     @property
     def stack_sizes(self) -> Tuple[int, int, int]:
@@ -214,13 +220,23 @@ class HSNet(nn.Module):
         pyramid = multilayer_correlation(q_taps, s_taps, self.stack_sizes)
         logits = HPNLearner(self.stack_sizes, self.dtype,
                             name="hpn_learner")(pyramid)
+        if self.use_original_imgsize:
+            return logits
         h, w = query_img.shape[1], query_img.shape[2]
         return resize_bilinear(logits, h, w, align_corners=True)
 
 
-def predict_mask_nshot(apply_fn, batch, nshot: int) -> jnp.ndarray:
+def predict_mask_nshot(apply_fn, batch, nshot: int,
+                       org_size=None) -> jnp.ndarray:
     """n-shot vote aggregation (reference: hsnet.py:68-90): sum the
-    per-shot argmax masks, threshold at half the max vote."""
+    per-shot argmax masks, threshold at half the max vote.
+
+    `org_size=(H, W)` is the use_original_imgsize protocol
+    (reference: hsnet.py:72-75): each shot's logits are bilinearly
+    resized (align_corners=True) to the episode's original query size
+    before the argmax. The resize runs OUTSIDE the jitted apply_fn —
+    original sizes vary per episode, so keeping them out of the model
+    preserves one static program per input size."""
     agg = None
     for s in range(nshot):
         logits = apply_fn(
@@ -228,6 +244,11 @@ def predict_mask_nshot(apply_fn, batch, nshot: int) -> jnp.ndarray:
             batch["support_imgs"][:, s],
             batch["support_masks"][:, s],
         )
+        if org_size is not None:
+            logits = resize_bilinear(
+                logits.astype(jnp.float32), org_size[0], org_size[1],
+                align_corners=True,
+            )
         vote = jnp.argmax(logits, axis=-1)
         agg = vote if agg is None else agg + vote
     if nshot == 1:

@@ -35,6 +35,7 @@ from lseg_tpu.ops.pallas_correlation import fused_correlate
 from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax
 from lseg_tpu.ops.quant import quantize_tree
 from lseg_tpu.ops.resize import upsample2x
+from lseg_tpu.utils.fold_bn import fold_bn_tree
 
 
 def _default_fwd(model, cfg):
@@ -43,7 +44,7 @@ def _default_fwd(model, cfg):
     return fwd
 
 
-def _mk(cfg_fn, prep=lambda p: p, fwd_fn=_default_fwd):
+def _mk(cfg_fn, prep=lambda v: v, fwd_fn=_default_fwd):
     def build():
         cfg = cfg_fn()
         model = LSegNet(cfg, dtype=jnp.bfloat16)
@@ -63,6 +64,24 @@ def _cfg_flash():
     cfg = _cfg_base()
     return dataclasses.replace(
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash"))
+
+
+def _cfg_bnfold():
+    return dataclasses.replace(_cfg_base(), use_bn=False)
+
+
+def _cfg_dpa():
+    cfg = _cfg_base()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="dpa"))
+
+
+def _prep_int8(v):
+    return {**v, "params": quantize_tree(v["params"])}
+
+
+def _prep_bnfold(v):
+    return {"params": fold_bn_tree(v["params"], v.get("batch_stats"))}
 
 
 def _fwd_bf16_argmax(model, cfg):
@@ -101,13 +120,15 @@ def _fwd_pallas_full(model, cfg):
 
 VARIANTS = {
     "base": _mk(_cfg_base),
-    "int8": _mk(_cfg_int8, prep=quantize_tree),
+    "int8": _mk(_cfg_int8, prep=_prep_int8),
     "flash": _mk(_cfg_flash),
+    "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),
+    "dpa": _mk(_cfg_dpa),
     "int8_flash": _mk(
         lambda: dataclasses.replace(
             _cfg_int8(),
             vit=dataclasses.replace(_cfg_int8().vit, attn_impl="flash")),
-        prep=quantize_tree),
+        prep=_prep_int8),
     "bf16argmax": _mk(_cfg_base, fwd_fn=_fwd_bf16_argmax),
     "pallas_head": _mk(_cfg_base, fwd_fn=_fwd_pallas_head),
     "pallas_full": _mk(_cfg_base, fwd_fn=_fwd_pallas_full),
@@ -140,8 +161,7 @@ def main() -> None:
     runners = {}
     for name in names:
         cfg, model, prep, fwd = VARIANTS[name]()
-        v = dict(v0)
-        v["params"] = prep(v0["params"])
+        v = prep(dict(v0))
 
         @functools.partial(jax.jit, static_argnames=("n",))
         def run(vv, xx, tt, n, fwd=fwd):

@@ -100,6 +100,35 @@ def test_hsnet_forward_and_nshot():
     assert set(np.unique(np.asarray(pred))) <= {0, 1}
 
 
+def test_hsnet_original_imgsize_protocol():
+    """use_original_imgsize: the model emits HPN-resolution logits and
+    predict_mask_nshot resizes to the episode's original query size
+    before argmax (reference: hsnet.py:55-75, test.py:63)."""
+    cfg = ResNetConfig(layers=(1, 1, 1, 1))
+    model = HSNet(resnet=cfg, use_original_imgsize=True)
+    q = jnp.zeros((1, 32, 32, 3))
+    s = jnp.zeros((1, 32, 32, 3))
+    m = jnp.ones((1, 32, 32), jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), q, s, m)
+    logits = model.apply(variables, q, s, m)
+    # HPN native resolution (layer2 grid x2 via the decoder upsample),
+    # NOT the input size
+    assert logits.shape[1] < 32 or logits.shape[1] == 16
+
+    def apply_fn(qi, si, mi):
+        return model.apply(variables, qi, si, mi)
+
+    batch = {
+        "query_img": q,
+        "support_imgs": jnp.zeros((1, 1, 32, 32, 3)),
+        "support_masks": jnp.ones((1, 1, 32, 32), jnp.int32),
+    }
+    pred = predict_mask_nshot(apply_fn, batch, nshot=1,
+                              org_size=(47, 31))
+    assert pred.shape == (1, 47, 31)
+    assert set(np.unique(np.asarray(pred))) <= {0, 1}
+
+
 def test_vgg16_taps_and_hsnet():
     import torch
     import torch.nn.functional as F

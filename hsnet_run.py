@@ -37,6 +37,10 @@ def parse_args():
     p.add_argument("--backbone_weights", default=None,
                    help="torchvision resnet101 .pth")
     p.add_argument("--layers", type=int, nargs=4, default=[3, 4, 23, 3])
+    p.add_argument("--visualize", action="store_true",
+                   help="save support/pred/gt composites per episode "
+                        "(reference fewshot_data/common/vis.py)")
+    p.add_argument("--vis_path", default="vis")
     p.add_argument("--use_original_imgsize", action="store_true",
                    help="evaluate at each episode's original query size "
                         "(reference test.py:63, hsnet.py:55-75); "
@@ -103,6 +107,19 @@ def main():
         def apply_fn(q, s, m):
             return model.apply(variables, q, s, m)
 
+        vis = None
+        if args.visualize and args.use_original_imgsize:
+            raise SystemExit(
+                "--visualize needs network-size masks; drop "
+                "--use_original_imgsize (the reference Visualizer has "
+                "the same constraint)")
+        if args.visualize:
+            from lseg_tpu.utils.fewshot_vis import EpisodeVisualizer
+
+            vis = EpisodeVisualizer(
+                args.vis_path,
+                mean=(0.485, 0.456, 0.406), std=(0.229, 0.224, 0.225),
+            )
         meter = AverageMeter(ds.class_ids)
         # original-imgsize mode: per-episode mask shapes vary, so the
         # metric runs unjitted (bsz=1) — only the model forward stays a
@@ -121,6 +138,11 @@ def main():
                 pred, batch["query_mask"], batch["query_ignore"]
             )
             meter.update(np.asarray(inter), np.asarray(union), cids)
+            if vis is not None:
+                it, un = np.asarray(inter), np.asarray(union)
+                vis.batch(batch, np.asarray(pred), list(cids),
+                          start // args.bsz,
+                          ious=it[:, 1] / np.maximum(un[:, 1], 1e-7))
             if (start // args.bsz) % 20 == 0:
                 miou, fb = meter.compute_iou()
                 print(f"[{start + len(idxs)}/{n}] mIoU {miou:.2f} "

@@ -50,10 +50,15 @@ class EpisodicEvaluator:
     per-episode binary prediction -> inter/union with ignore folding ->
     AverageMeter -> mIoU / FB-IoU."""
 
-    def __init__(self, predict_fn, class_ids: Sequence[int]):
+    def __init__(self, predict_fn, class_ids: Sequence[int],
+                 visualizer=None):
         self.predict = predict_fn
         self.meter = AverageMeter(class_ids)
         self._iu = jax.jit(episode_inter_union)
+        # optional lseg_tpu.utils.fewshot_vis.EpisodeVisualizer: saves
+        # support/pred/gt composites per episode (reference
+        # fewshot_data/common/vis.py Visualizer)
+        self.visualizer = visualizer
 
     def run(self, dataset, pair_features_fn, batch_size: int = 8,
             log=print, log_every: int = 50):
@@ -76,6 +81,17 @@ class EpisodicEvaluator:
                 np.asarray(inter), np.asarray(union),
                 np.asarray([e["class_id"] for e in eps]),
             )
+            if self.visualizer is not None:
+                it, un = np.asarray(inter), np.asarray(union)
+                fg_iou = it[:, 1] / np.maximum(un[:, 1], 1e-7)
+                self.visualizer.batch(
+                    {k: np.stack([e[k] for e in eps])
+                     for k in ("support_imgs", "support_masks",
+                               "query_img", "query_mask")},
+                    np.asarray(pred),
+                    [int(e["class_id"]) for e in eps],
+                    start // batch_size, ious=fg_iou,
+                )
             if (start // batch_size) % log_every == 0:
                 miou, fb = self.meter.compute_iou()
                 log(f"[{start + len(eps)}/{n}] mIoU {miou:.2f} "

@@ -40,6 +40,11 @@ def parse_args():
     p.add_argument("--activation", default="lrelu")
     p.add_argument("--logpath", default="logs/fewshot")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--visualize", action="store_true",
+                   help="save support/pred/gt composites per episode "
+                        "to --vis_path (reference "
+                        "fewshot_data/common/vis.py)")
+    p.add_argument("--vis_path", default="vis")
     return p.parse_args()
 
 
@@ -80,7 +85,16 @@ def main():
         return cache.pair_features(labels[class_id])
 
     predictor = make_episodic_predictor(model, variables)
-    evaluator = EpisodicEvaluator(predictor, ds.class_ids)
+    vis = None
+    if args.visualize:
+        from lseg_tpu.utils.fewshot_vis import EpisodeVisualizer
+
+        stats = (((0.485, 0.456, 0.406), (0.229, 0.224, 0.225))
+                 if imagenet_norm else ((0.5,) * 3, (0.5,) * 3))
+        vis = EpisodeVisualizer(args.vis_path, mean=stats[0],
+                                std=stats[1])
+    evaluator = EpisodicEvaluator(predictor, ds.class_ids,
+                                  visualizer=vis)
     miou, fb_iou = evaluator.run(ds, pair_features, batch_size=args.bsz)
 
     os.makedirs(args.logpath, exist_ok=True)

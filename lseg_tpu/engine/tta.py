@@ -180,6 +180,60 @@ def build_pyramid(
     return pyr
 
 
+def _make_pyramid_builder(proto: TTAProtocol):
+    """Device-side scale-pyramid construction — the TTA transfer cut.
+
+    The host path uploads the full (S, Pmax, Pmax, 3) pyramid per image
+    (~60 MB fp32 for the ADE20K protocol); over the relayed TPU link the
+    measured 6.5-8 s/image was transfer-dominated. This program instead
+    takes the ONE (hb, wb, 3) padded image (~25x smaller) and builds all
+    S aspect-preserving resizes on device. The bilinear operators are
+    constructed in-trace from iota (align_corners=True: src=o*(h-1)/
+    (hs-1), triangle weights relu(1-|src-i|)) — exactly the two-tap rows
+    `_interp_matrix` builds on host, so device and host pyramids are
+    numerically identical (tested). One compile per (hb, wb) bucket.
+
+    Inputs: img (hb, wb, 3) zero-padded; hw (2,) true size; sizes (S, 2)
+    per-scale targets. Output: (S, Pmax, Pmax, 3) pyramid, pad_value
+    outside each scale's (hs, ws) region.
+    """
+    pmax = max(proto.canvas_sizes)
+    pad = jnp.asarray(proto.pad_value, jnp.float32)
+
+    def axis_weights(dim_in: int, true_len, targets):
+        # (S, Pmax, dim_in) interp rows; rows o >= target are zeroed
+        o = jax.lax.broadcasted_iota(jnp.int32, (pmax, dim_in), 0)
+        i = jax.lax.broadcasted_iota(jnp.int32, (pmax, dim_in), 1)
+        t = targets[:, None, None].astype(jnp.float32)  # (S,1,1)
+        ratio = (true_len - 1).astype(jnp.float32) / jnp.maximum(
+            t - 1.0, 1.0)
+        src = o[None].astype(jnp.float32) * ratio
+        wts = jnp.maximum(0.0, 1.0 - jnp.abs(src - i[None]))
+        valid = ((o[None] < targets[:, None, None])
+                 & (i[None] < true_len))
+        return jnp.where(valid, wts, 0.0)
+
+    @jax.jit
+    def build(img, hw, sizes):
+        h, w = hw[0], hw[1]
+        wh = axis_weights(img.shape[0], h, sizes[:, 0])
+        ww = axis_weights(img.shape[1], w, sizes[:, 1])
+        # HIGHEST precision: on TPU the default fp32 einsum runs single-
+        # pass bf16 (~1e-2 rel) — the pyramid feeds the PARITY eval path,
+        # so keep the resize fp32-exact (cost is noise vs the model)
+        t = jnp.einsum("soh,hwc->sowc", wh, img.astype(jnp.float32),
+                       precision=jax.lax.Precision.HIGHEST)
+        pyr = jnp.einsum("spw,sowc->sopc", ww, t,
+                         precision=jax.lax.Precision.HIGHEST)
+        oy = jax.lax.broadcasted_iota(jnp.int32, (pmax, pmax), 0)
+        ox = jax.lax.broadcasted_iota(jnp.int32, (pmax, pmax), 1)
+        inside = ((oy[None] < sizes[:, :1, None])
+                  & (ox[None] < sizes[:, 1:, None]))
+        return jnp.where(inside[..., None], pyr, pad)
+
+    return build
+
+
 # ---------------------------------------------------------------------------
 # Device program A: crop scan -> per-scale canvases
 # ---------------------------------------------------------------------------
@@ -322,14 +376,20 @@ class MultiScaleEvaluator:
         proto: TTAProtocol = TTAProtocol(),
         bucket_step: int = 64,
         crops_per_step: int = 4,
+        device_pyramid: bool = True,
     ):
         self.proto = proto
         self.num_classes = num_classes
         self.bucket_step = bucket_step
         self.crops_per_step = crops_per_step
+        # build the scale pyramid on device from the single uploaded
+        # image (~25x less host->device traffic); False = host path
+        # (the oracle both are tested against)
+        self.device_pyramid = device_pyramid
         self._apply_fn = apply_fn
         self._plans: Dict[Tuple[int, int], TTAPlan] = {}
         self._accumulate = None
+        self._pyramid_builder = None
         self._assemble_logits = _make_assemble(proto, num_classes, True)
         self._assemble_argmax = _make_assemble(proto, num_classes, False)
 
@@ -340,10 +400,27 @@ class MultiScaleEvaluator:
             self._plans[(h, w)] = plan
         return plan
 
+    def _device_pyramid(self, image: np.ndarray, plan: TTAPlan):
+        h, w, _ = image.shape
+        hb = _bucket(h, self.bucket_step)
+        wb = _bucket(w, self.bucket_step)
+        if self._pyramid_builder is None:
+            self._pyramid_builder = _make_pyramid_builder(self.proto)
+        img = np.zeros((hb, wb, 3), np.float32)
+        img[:h, :w] = image
+        return self._pyramid_builder(
+            jnp.asarray(img),
+            jnp.asarray([h, w], np.int32),
+            jnp.asarray(plan.sizes, np.int32),
+        )
+
     def _canvases(self, image: np.ndarray, text_features):
         h, w, _ = image.shape
         plan = self._plan(h, w)
-        pyramid = jnp.asarray(build_pyramid(self.proto, image, plan))
+        if self.device_pyramid:
+            pyramid = self._device_pyramid(image, plan)
+        else:
+            pyramid = jnp.asarray(build_pyramid(self.proto, image, plan))
         if self._accumulate is None:
             self._accumulate = _make_accumulate(
                 self.proto, self._apply_fn, self.num_classes,

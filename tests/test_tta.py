@@ -103,6 +103,39 @@ def test_tta_matches_oracle():
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+def test_device_pyramid_matches_host():
+    """The device-built scale pyramid (in-trace iota interp weights) must
+    equal the host build_pyramid (_interp_matrix) bit-for-bit-ish."""
+    from lseg_tpu.engine.tta import (
+        TTAPlan, _make_pyramid_builder, build_pyramid, make_plan,
+    )
+
+    rng = np.random.RandomState(3)
+    image = rng.randn(80, 100, 3).astype(np.float32)
+    plan = make_plan(PROTO, 80, 100)
+    host = build_pyramid(PROTO, image, plan)
+
+    builder = _make_pyramid_builder(PROTO)
+    hb, wb = 128, 128  # any bucket >= image
+    img = np.zeros((hb, wb, 3), np.float32)
+    img[:80, :100] = image
+    dev = np.asarray(builder(
+        jnp.asarray(img), jnp.asarray([80, 100], np.int32),
+        jnp.asarray(plan.sizes, np.int32),
+    ))
+    # fp32 in-trace src vs the host matrices' fp64 src: ~3e-5 slack
+    np.testing.assert_allclose(dev, host, rtol=1e-4, atol=1e-4)
+
+
+def test_host_pyramid_path_still_matches_oracle():
+    apply_fn, image, txt, = _model_and_inputs()
+    ev = MultiScaleEvaluator(apply_fn, num_classes=4, proto=PROTO,
+                             device_pyramid=False)
+    ours = ev(image, txt, return_logits=True)
+    ref = _oracle(apply_fn, image, txt, PROTO, num_classes=4)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
+
+
 def test_tta_argmax_and_reuse():
     apply_fn, image, txt = _model_and_inputs()
     ev = MultiScaleEvaluator(apply_fn, num_classes=4, proto=PROTO)

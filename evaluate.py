@@ -20,7 +20,8 @@ import numpy as np
 def parse_args():
     p = argparse.ArgumentParser("lseg_tpu evaluator")
     p.add_argument("--dataset", default="ade20k",
-                   choices=["ade20k", "citys"])
+                   choices=["ade20k", "citys", "pascal_voc",
+                            "pascal_aug", "pcontext"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
@@ -59,23 +60,31 @@ def parse_args():
     return p.parse_args()
 
 
+_STD_SCALES = (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)
 _DATASET_DEFAULTS = {
     # name -> (base_size, crop_size, scales)
-    "ade20k": (520, 480, (0.5, 0.75, 1.0, 1.25, 1.5, 1.75)),
+    "ade20k": (520, 480, _STD_SCALES),
     "citys": (2048, 768, (0.75, 1.0, 1.25, 1.5, 1.75, 2.0, 2.25)),
+    "pascal_voc": (520, 480, _STD_SCALES),
+    "pascal_aug": (520, 480, _STD_SCALES),
+    "pcontext": (520, 480, _STD_SCALES),
 }
 
 
 def _make_dataset(name, data_path, split, mode, base_size, crop_size):
     if name == "citys":
-        from lseg_tpu.data.cityscapes import CitySegmentation
+        from lseg_tpu.data.cityscapes import CitySegmentation as DS
+    elif name == "pascal_voc":
+        from lseg_tpu.data.voc import VOCSegmentation as DS
+    elif name == "pascal_aug":
+        from lseg_tpu.data.voc import VOCAugSegmentation as DS
+    elif name == "pcontext":
+        from lseg_tpu.data.voc import PContextSegmentation as DS
+    else:
+        from lseg_tpu.data.ade20k import ADE20KSegmentation as DS
 
-        return CitySegmentation(data_path, split, mode=mode,
-                                base_size=base_size, crop_size=crop_size)
-    from lseg_tpu.data.ade20k import ADE20KSegmentation
-
-    return ADE20KSegmentation(data_path, split, mode=mode,
-                              base_size=base_size, crop_size=crop_size)
+    return DS(data_path, split, mode=mode,
+              base_size=base_size, crop_size=crop_size)
 
 
 def main():

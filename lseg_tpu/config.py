@@ -54,6 +54,11 @@ class ViTConfig:
     # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
     # (~12% faster end to end on v5e; validate mIoU before adopting)
     mlp_gelu: str = "exact"
+    # head-major attention param layout (kernel (D,3,H,hd) / (H,hd,D))
+    # for tensor parallelism: the head axis becomes a real param axis,
+    # so TP sharding stays collective-free through attention. Convert
+    # flat checkpoints with utils.checkpoint_convert.to_tp_layout.
+    tp_layout: bool = False
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,6 +129,26 @@ def _vitl16(**kw) -> LSegConfig:
     )
 
 
+def _vitb16(**kw) -> LSegConfig:
+    # ViT-B/16 (the reference's unwired clip_vitb16_384 transplant
+    # factory, lseg_vit_zs.py:661-715; timm vit_base_patch16_384):
+    # completes the CLIP->timm transplant story alongside the tested
+    # convert_clip_visual_to_vit path.
+    return LSegConfig(
+        vit=ViTConfig(
+            patch_size=16,
+            embed_dim=768,
+            depth=12,
+            num_heads=12,
+            hooks=(2, 5, 8, 11),
+            post_channels=(96, 192, 384, 768),
+            resample=(4.0, 2.0, 1.0, 0.5),
+            pretrain_grid=24,
+        ),
+        **kw,
+    )
+
+
 def _vitb32(**kw) -> LSegConfig:
     return LSegConfig(
         vit=ViTConfig(
@@ -150,6 +175,7 @@ BACKBONES = {
     "clipRN50x4_vitl16_384": _vitl16(
         backbone="clipRN50x4_vitl16_384", out_c=640, text=CLIP_TEXT_RN50X4
     ),
+    "clip_vitb16_384": _vitb16(backbone="clip_vitb16_384"),
     "clip_vitb32_384": _vitb32(backbone="clip_vitb32_384"),
     "clipRN50x16_vitb32_384": _vitb32(
         backbone="clipRN50x16_vitb32_384", out_c=768, text=CLIP_TEXT_RN50X16

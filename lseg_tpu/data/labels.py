@@ -39,9 +39,13 @@ def get_labels(dataset: str, label_dir: str = None) -> List[str]:
     label_files data — plain one-name-per-line). An explicit `label_dir`
     reads reference-format files from there instead."""
     if label_dir is None:
+        named = ("ade20k", "citys", "pascal_voc", "pcontext")
+        # pascal_aug evaluates the same 21 VOC classes
+        if dataset == "pascal_aug":
+            dataset = "pascal_voc"
         path = os.path.join(
             _PACKAGED,
-            f"{dataset}.txt" if dataset in ("ade20k", "citys")
+            f"{dataset}.txt" if dataset in named
             else f"fewshot_{dataset}.txt",
         )
         if os.path.exists(path):

@@ -142,6 +142,66 @@ class _ProjHeadsMajor(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _QKVHeadsParam(nn.Module):
+    """qkv projection with a HEAD-MAJOR param layout: kernel
+    (D, 3, H, hd), bias (3, H, hd) — the tensor-parallel layout. H is a
+    real param axis, so the TP rules (`parallel.mesh._TP_RULES`) shard
+    it directly and per-head attention stays collective-free under
+    GSPMD; the flat (D, 3D) layout's head reshape crosses shard
+    boundaries and forces re-layout collectives (round-1 weakness).
+    Convert from/to the flat nn.Dense layout with
+    `utils.checkpoint_convert.{to,from}_tp_layout` (pure reshapes)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        d, h = self.dim, self.num_heads
+        hd = d // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(1, 2)),
+            (d, 3, h, hd), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (3, h, hd), jnp.float32
+        )
+        y = jnp.einsum(
+            "ntd,dchj->cnhtj", x, kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return y + bias.astype(self.dtype)[:, None, :, None, :]
+
+
+class _ProjHeadsParam(nn.Module):
+    """Attention output projection with head-major params: kernel
+    (H, hd, D), bias (D,). Contracting (H, hd) of a head-sharded input
+    yields partial sums — GSPMD inserts exactly one all-reduce
+    (Megatron row-parallel)."""
+
+    dim: int
+    num_heads: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (N, H, T, hd)
+        d, h = self.dim, self.num_heads
+        hd = d // h
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(batch_axis=(0,)),
+            (h, hd, d), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (d,), jnp.float32
+        )
+        y = jnp.einsum(
+            "nhtj,hjd->ntd", x, kernel.astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        return y + bias.astype(self.dtype)
+
+
 class Attention(nn.Module):
     """Standard ViT multi-head self-attention (timm Block.attn semantics:
     fused qkv projection with bias, scale = head_dim**-0.5).
@@ -161,6 +221,8 @@ class Attention(nn.Module):
     # internal upcast of max/sum on bf16 inputs).
     scores_dtype: Any = jnp.float32
     quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
+    # head-major (D,3,H,hd)/(H,hd,D) param layout for tensor parallelism
+    tp_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -168,6 +230,22 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = d // h
         scale = hd ** -0.5
+        if self.tp_layout:
+            qkv = _QKVHeadsParam(d, h, self.dtype, name="qkv")(x)
+            q, k, v = qkv[0], qkv[1], qkv[2]  # (N, H, T, hd)
+            if self.impl == "flash":
+                out = _flash_attention(q, k, v, scale, self.dtype)
+            else:
+                attn = jnp.einsum(
+                    "nhqd,nhkd->nhqk", q, k,
+                    preferred_element_type=self.scores_dtype,
+                ) * jnp.asarray(scale, self.scores_dtype)
+                attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+                out = jnp.einsum(
+                    "nhqk,nhkd->nhqd", attn, v,
+                    preferred_element_type=jnp.float32,
+                ).astype(self.dtype)
+            return _ProjHeadsParam(d, h, self.dtype, name="proj")(out)
         if self.impl == "flash":
             qkv = _QKVHeadsMajor(d, h, self.dtype, name="qkv")(x)
             out = _flash_attention(
@@ -232,6 +310,7 @@ class Block(nn.Module):
     attn_scores_dtype: Any = jnp.float32
     quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
     gelu: str = "exact"
+    tp_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -240,7 +319,8 @@ class Block(nn.Module):
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x2)
         a = Attention(self.dim, self.num_heads, self.dtype,
                       self.attn_impl, self.attn_scores_dtype,
-                      self.quant, name="attn")(y.reshape(n, t, d))
+                      self.quant, self.tp_layout,
+                      name="attn")(y.reshape(n, t, d))
         x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
         x2 = x2 + Mlp(self.dim, int(self.dim * self.mlp_ratio),
@@ -266,6 +346,7 @@ class BlockStack(nn.Module):
     attn_scores_dtype: Any = jnp.float32
     quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
     gelu: str = "exact"
+    tp_layout: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -286,6 +367,7 @@ class BlockStack(nn.Module):
             attn_scores_dtype=self.attn_scores_dtype,
             quant=self.quant,
             gelu=self.gelu,
+            tp_layout=self.tp_layout,
             name="blocks",
         )(x, None)
         return x
@@ -368,6 +450,7 @@ class DenseViT(nn.Module):
                 ),
                 quant=cfg.quant_int8,
                 gelu=cfg.mlp_gelu,
+                tp_layout=cfg.tp_layout,
                 name=f"seg{i}",
             )(x)
             taps.append(x)

@@ -46,7 +46,19 @@ def create_mesh(
 # are scan-stacked, so their kernels carry a leading layer axis (None).
 # Megatron-style TP: column-parallel into attention/MLP, row-parallel out.
 _TP_RULES = [
+    # HEAD-ALIGNED layout (ViTConfig.tp_layout=True; params via
+    # checkpoint_convert.to_tp_layout): qkv (L, D, 3, H, hd) / proj
+    # (L, H, hd, D) — shard the real head axis, so attention is fully
+    # head-local and only proj's row-parallel contraction all-reduces.
+    (r"vit/seg\d+/blocks/attn/qkv/kernel$",
+     P(None, None, None, "model", None)),
+    (r"vit/seg\d+/blocks/attn/qkv/bias$", P(None, None, "model", None)),
+    (r"vit/seg\d+/blocks/attn/proj/kernel$",
+     P(None, "model", None, None)),
     # stacked ViT blocks: (L, D, 3D) qkv & (L, D, 4D) fc1 -> shard out dim
+    # (flat layout fallback — rank-matched, so these fire only when
+    # tp_layout=False; GSPMD keeps it correct but re-lays out around the
+    # head reshape)
     (r"vit/seg\d+/blocks/attn/qkv/kernel$", P(None, None, "model")),
     (r"vit/seg\d+/blocks/mlp/fc1/kernel$", P(None, None, "model")),
     # row-parallel back out: shard the contracted (input) dim
@@ -113,14 +125,24 @@ def init_distributed(
     coordinator: Optional[str] = None,
     num_processes: Optional[int] = None,
     process_id: Optional[int] = None,
+    cpu_devices_per_process: Optional[int] = None,
 ) -> None:
     """Multi-host bring-up (the reference's SLURM/NCCL multi-node path,
     utils.py:51-56 + sbatch_run.sh): call once per host before
     create_mesh; jax.devices() then spans all hosts, with ICI inside a
     slice and DCN across. No-ops on a single process with no coordinator
-    (e.g. unit tests / single-chip dev)."""
+    (e.g. unit tests / single-chip dev).
+
+    `cpu_devices_per_process` enables the CPU multi-process simulation
+    (tests/multihost_worker.py): N virtual CPU devices per process with
+    gloo cross-process collectives — the same code path real multi-host
+    TPU takes, minus the hardware."""
     if coordinator is None and num_processes is None:
         return
+    if cpu_devices_per_process:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", cpu_devices_per_process)
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
     jax.distributed.initialize(
         coordinator_address=coordinator,
         num_processes=num_processes,

@@ -32,6 +32,11 @@ class FitConfig:
     ckpt_dir: str = "checkpoints/default"
     resume: bool = True
     val_every: int = 1
+    # experiment-tracking sinks (reference utils.py:36-43 dual loggers):
+    # TB via tensorboardX when present; wandb gated on availability
+    tensorboard: bool = True
+    wandb: bool = False
+    exp_name: str = "lseg"
 
 
 class CSVLogger:
@@ -65,6 +70,10 @@ def fit(
     eval_step = jax.jit(make_eval_step(cfg.ignore_index))
     ckpt = CheckpointManager(cfg.ckpt_dir)
     csv = CSVLogger(os.path.join(cfg.ckpt_dir, "metrics.csv"))
+    from lseg_tpu.utils.sinks import make_sinks
+
+    sinks = make_sinks(cfg.ckpt_dir, exp_name=cfg.exp_name,
+                       tensorboard=cfg.tensorboard, wandb=cfg.wandb)
 
     start_epoch = 0
     if cfg.resume:
@@ -140,6 +149,10 @@ def fit(
             ckpt.save(int(state.step), state, {})
 
         csv.log(row)
+        sinks.scalars(epoch, {
+            k: v for k, v in row.items()
+            if k != "epoch" and v != "" and v == v
+        })
         if stop_requested["flag"]:
             log(f"stopping after epoch {epoch} (preemption)")
             break
@@ -147,4 +160,5 @@ def fit(
     for sig, h in prev_handlers.items():
         signal.signal(sig, h)
     ckpt.wait()
+    sinks.close()
     return state

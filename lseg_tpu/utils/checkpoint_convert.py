@@ -507,3 +507,82 @@ def convert_torchvision_resnet(
             params[f"layer{stage + 1}_block{b}"] = bp
             stats[f"layer{stage + 1}_block{b}"] = bs
     return params, stats
+
+
+# ---------------------------------------------------------------------------
+# tensor-parallel (head-major) attention param layout
+# ---------------------------------------------------------------------------
+
+def to_tp_layout(params, num_heads: int):
+    """Flat attention params -> head-major TP layout (pure reshapes).
+
+    Wherever an `attn` module holds the flat fused layout
+    (qkv kernel (..., D, 3D) / bias (..., 3D); proj kernel (..., D, D)),
+    rewrite to the `tp_layout=True` shapes: qkv kernel (..., D, 3, H, hd),
+    bias (..., 3, H, hd), proj kernel (..., H, hd, D). Leading scan axes
+    are preserved. Inverse: `from_tp_layout`."""
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "attn" and isinstance(v, dict)
+                    and "qkv" in v and "proj" in v
+                    and "kernel" in v.get("qkv", {})):
+                qk = np.asarray(v["qkv"]["kernel"])
+                d = qk.shape[-2]
+                h = num_heads
+                hd = d // h
+                qb = np.asarray(v["qkv"]["bias"])
+                pk = np.asarray(v["proj"]["kernel"])
+                out[k] = {
+                    "qkv": {
+                        "kernel": qk.reshape(*qk.shape[:-1], 3, h, hd),
+                        "bias": qb.reshape(*qb.shape[:-1], 3, h, hd),
+                    },
+                    "proj": {
+                        "kernel": pk.reshape(*pk.shape[:-2], h, hd,
+                                             pk.shape[-1]),
+                        "bias": v["proj"]["bias"],
+                    },
+                }
+            else:
+                out[k] = rec(v)
+        return out
+
+    return rec(params)
+
+
+def from_tp_layout(params, num_heads: int):
+    """Inverse of `to_tp_layout`: head-major -> flat fused layout."""
+
+    def rec(node):
+        if not isinstance(node, dict):
+            return node
+        out = {}
+        for k, v in node.items():
+            if (k == "attn" and isinstance(v, dict)
+                    and "qkv" in v and "proj" in v
+                    and getattr(np.asarray(v["qkv"]["kernel"]), "ndim", 0)
+                    >= 4):
+                qk = np.asarray(v["qkv"]["kernel"])
+                d = qk.shape[-4]
+                qb = np.asarray(v["qkv"]["bias"])
+                pk = np.asarray(v["proj"]["kernel"])
+                out[k] = {
+                    "qkv": {
+                        "kernel": qk.reshape(*qk.shape[:-3], 3 * d),
+                        "bias": qb.reshape(*qb.shape[:-3], 3 * d),
+                    },
+                    "proj": {
+                        "kernel": pk.reshape(*pk.shape[:-3], d,
+                                             pk.shape[-1]),
+                        "bias": v["proj"]["bias"],
+                    },
+                }
+            else:
+                out[k] = rec(v)
+        return out
+
+    return rec(params)

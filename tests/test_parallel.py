@@ -83,3 +83,42 @@ def test_dryrun_multichip():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(8)
+
+
+def test_sharded_tta_eval_matches_single_device():
+    """Eval path sharded over the data axis: the TTA evaluator's crop
+    forward runs with its (2g) crop batch sharded over an 8-device data
+    mesh and must reproduce the unsharded label map exactly."""
+    from lseg_tpu.engine.serve import make_logits_fn
+    from lseg_tpu.engine.tta import MultiScaleEvaluator, TTAProtocol
+
+    cfg = tiny_vit_config()
+    model = LSegNet(cfg)
+    rng = np.random.RandomState(0)
+    image = rng.randn(80, 100, 3).astype(np.float32)
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)), txt
+    )
+    proto = TTAProtocol(base_size=72, crop_size=64,
+                        scales=(0.5, 1.0, 1.5), flip=True)
+
+    plain_fn = make_logits_fn(model, variables)
+    ev0 = MultiScaleEvaluator(plain_fn, 4, proto)
+    ref = ev0(image, txt)
+
+    mesh = create_mesh(n_data=8, n_model=1)
+    bsh = batch_sharding(mesh)
+    rsh = replicated(mesh)
+    v_sh = jax.device_put(variables, param_shardings(variables, mesh))
+
+    def sharded_fn(images, text_features):
+        # crop batch = 2 * crops_per_step = 8 -> one crop per device
+        return plain_fn.func(
+            v_sh, jax.device_put(images, bsh),
+            jax.device_put(text_features, rsh),
+        )
+
+    ev1 = MultiScaleEvaluator(sharded_fn, 4, proto)
+    out = ev1(image, txt)
+    np.testing.assert_array_equal(out, ref)

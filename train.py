@@ -26,7 +26,8 @@ def parse_args():
     p = argparse.ArgumentParser("lseg_tpu trainer")
     # data (reference lsegmentation_module.py:246-304)
     p.add_argument("--dataset", default="ade20k",
-                   choices=["ade20k", "citys", "synthetic"])
+                   choices=["ade20k", "citys", "pascal_voc",
+                            "pascal_aug", "pcontext", "synthetic"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
@@ -89,6 +90,12 @@ def build_dataset(args):
 
     if args.dataset == "citys":
         from lseg_tpu.data.cityscapes import CitySegmentation as DS
+    elif args.dataset == "pascal_voc":
+        from lseg_tpu.data.voc import VOCSegmentation as DS
+    elif args.dataset == "pascal_aug":
+        from lseg_tpu.data.voc import VOCAugSegmentation as DS
+    elif args.dataset == "pcontext":
+        from lseg_tpu.data.voc import PContextSegmentation as DS
     else:
         from lseg_tpu.data.ade20k import ADE20KSegmentation as DS
 

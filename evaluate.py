@@ -21,7 +21,7 @@ def parse_args():
     p = argparse.ArgumentParser("lseg_tpu evaluator")
     p.add_argument("--dataset", default="ade20k",
                    choices=["ade20k", "citys", "pascal_voc",
-                            "pascal_aug", "pcontext"])
+                            "pascal_aug", "pcontext", "coco"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
@@ -68,6 +68,7 @@ _DATASET_DEFAULTS = {
     "pascal_voc": (520, 480, _STD_SCALES),
     "pascal_aug": (520, 480, _STD_SCALES),
     "pcontext": (520, 480, _STD_SCALES),
+    "coco": (520, 480, _STD_SCALES),
 }
 
 
@@ -80,6 +81,8 @@ def _make_dataset(name, data_path, split, mode, base_size, crop_size):
         from lseg_tpu.data.voc import VOCAugSegmentation as DS
     elif name == "pcontext":
         from lseg_tpu.data.voc import PContextSegmentation as DS
+    elif name == "coco":
+        from lseg_tpu.data.coco import COCOSegmentation as DS
     else:
         from lseg_tpu.data.ade20k import ADE20KSegmentation as DS
 
@@ -158,7 +161,10 @@ def main():
             bn_apply, variables, batches(),
             max_batches=args.acc_bn_batches,
         )
-    labels = get_labels(args.dataset, args.label_dir)
+    # the 'coco' seg dataset paints the 21 VOC classes
+    # (encoding COCOSegmentation CAT_LIST), not the 80 COCO-20i names
+    label_set = "pascal_voc" if args.dataset == "coco" else args.dataset
+    labels = get_labels(label_set, args.label_dir)
     tok = ClipBPETokenizer.from_file(args.bpe_vocab)
     txt = TextFeatureCache(cfg.text, text_vars, tok)(tuple(labels))
 

@@ -252,6 +252,18 @@ class Attention(nn.Module):
                 qkv[0], qkv[1], qkv[2], scale, self.dtype
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
+        if self.impl == "flash2":
+            # flat qkv matmul (fastest emitter) + explicit transposes to
+            # the kernel's heads-major layout — A/B alternative to the
+            # fused heads-major einsum whose strided output write is
+            # slow (0.49 vs 0.27 ms/block profiled)
+            qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
+            qkv = qkv.reshape(n, t, 3, h, hd).transpose(2, 0, 3, 1, 4)
+            out = _flash_attention(
+                qkv[0], qkv[1], qkv[2], scale, self.dtype
+            )
+            out = out.transpose(0, 2, 1, 3).reshape(n, t, d)
+            return _dense(d, self.dtype, "proj", self.quant)(out)
         qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
         qkv = qkv.reshape(n, t, 3, h, hd)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]

@@ -76,6 +76,12 @@ def _cfg_dpa():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="dpa"))
 
 
+def _cfg_flash2():
+    cfg = _cfg_base()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flash2"))
+
+
 def _prep_int8(v):
     return {**v, "params": quantize_tree(v["params"])}
 
@@ -124,6 +130,7 @@ VARIANTS = {
     "flash": _mk(_cfg_flash),
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),
     "dpa": _mk(_cfg_dpa),
+    "flash2": _mk(_cfg_flash2),
     "int8_flash": _mk(
         lambda: dataclasses.replace(
             _cfg_int8(),

@@ -27,7 +27,8 @@ def parse_args():
     # data (reference lsegmentation_module.py:246-304)
     p.add_argument("--dataset", default="ade20k",
                    choices=["ade20k", "citys", "pascal_voc",
-                            "pascal_aug", "pcontext", "synthetic"])
+                            "pascal_aug", "pcontext", "coco",
+                            "synthetic"])
     p.add_argument("--data_path", default="datasets")
     p.add_argument("--label_dir", default=None,
                    help="reference-format label_files dir (default: packaged lists)")
@@ -96,6 +97,8 @@ def build_dataset(args):
         from lseg_tpu.data.voc import VOCAugSegmentation as DS
     elif args.dataset == "pcontext":
         from lseg_tpu.data.voc import PContextSegmentation as DS
+    elif args.dataset == "coco":
+        from lseg_tpu.data.coco import COCOSegmentation as DS
     else:
         from lseg_tpu.data.ade20k import ADE20KSegmentation as DS
 
@@ -107,7 +110,9 @@ def build_dataset(args):
         args.data_path, "val", mode="val", base_size=args.base_size,
         crop_size=args.crop_size, ignore_index=args.ignore_index,
     )
-    return train, val, get_labels(args.dataset, args.label_dir)
+    label_set = ("pascal_voc" if args.dataset == "coco"
+                 else args.dataset)
+    return train, val, get_labels(label_set, args.label_dir)
 
 
 def get_text_features(args, cfg, labels):

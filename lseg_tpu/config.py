@@ -54,6 +54,10 @@ class ViTConfig:
     # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
     # (~12% faster end to end on v5e; validate mIoU before adopting)
     mlp_gelu: str = "exact"
+    # q row-block size of the flat flash-attention kernel (the kernel
+    # clamps to T; 1024 = single q block at the 480-crop T=901, the
+    # measured best: 152.6 vs 145.8 (bq 256) img/s on v5e)
+    attn_block_q: int = 1024
     # head-major attention param layout (kernel (D,3,H,hd) / (H,hd,D))
     # for tensor parallelism: the head axis becomes a real param axis,
     # so TP sharding stays collective-free through attention. Convert
@@ -196,22 +200,30 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
     attention scores, fp32 correlation/upsample head — matches the
     reference bit-for-bit modulo bf16 matmul rounding.
 
-    Fast config (this): three measured, bounded-drift serving knobs —
-    - bf16 attention-score stream (1.76x end to end, round 1);
+    Fast config (this): measured, bounded-drift serving knobs —
+    - the flat-layout Pallas flash attention kernel (145.9 vs 114.0
+      img/s end to end on v5e, round 2 — fp32 scores in VMEM, so it is
+      numerically STRONGER than the bf16-score XLA stream it replaces;
+      model-level drift test in tests/test_quant.py); XLA bf16 scores
+      remain the fallback for head_dim != 64;
     - tanh-approx GELU (~12%; drift quantified at model level in
       tests/test_quant.py::test_tanh_gelu_drift_is_small);
     - bf16 correlation+upsample head (+3.7%; argmax agreement vs the
       fp32 head tested in tests/test_quant.py).
     `quant='static'` additionally enables the pre-quantized int8
     projection path (serve the tree through
-    `lseg_tpu.ops.quant.quantize_tree`).
+    `lseg_tpu.ops.quant.quantize_tree`) — measured a TIE with bf16 at
+    flagship shapes, kept for larger regimes.
 
     evaluate.py defaults to parity and opts into this via `--fast`.
     """
     vit = cfg.vit
     if vit is not None:
+        head_dim = vit.embed_dim // vit.num_heads
+        use_flashflat = head_dim == 64 and vit.num_heads % 2 == 0
         vit = dataclasses.replace(
             vit,
+            attn_impl="flashflat" if use_flashflat else vit.attn_impl,
             attn_scores_dtype="bfloat16",
             mlp_gelu="tanh",
             quant_int8=quant if quant else vit.quant_int8,

@@ -61,8 +61,13 @@ def make_predictor(
                 interpret=interpret,
             )
             return upsample2x_argmax(logits, interpret=interpret)
-        logits = correlate(emb, text_features, logit_scale=cfg.logit_scale)
-        up = upsample2x(logits, align_corners=True)
+        # honor the config's head compute dtype (fast_serving -> bf16
+        # streams; parity -> fp32), same policy as LSegNet's own head
+        hd = (jnp.bfloat16 if cfg.head_dtype == "bfloat16"
+              else jnp.float32)
+        logits = correlate(emb, text_features,
+                           logit_scale=cfg.logit_scale, compute_dtype=hd)
+        up = upsample2x(logits, align_corners=True, compute_dtype=hd)
         return jnp.argmax(up, axis=-1).astype(jnp.int32)
 
     return functools.partial(_predict, variables)

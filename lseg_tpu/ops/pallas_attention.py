@@ -1,0 +1,114 @@
+"""Flash attention over the FLAT fused-qkv layout (TPU Pallas).
+
+Why another attention kernel: on v5e the XLA einsum attention is
+HBM-bound on the (B, H, T, T) score matrix (3 passes x 208 MB/block at
+the flagship 480-crop size = ~1.06 ms/block), and the stock jax flash
+kernel, while 2x faster in isolation, loses its whole win to layout
+transitions — producing its (B, H, T, hd) heads-major operands costs
+~0.4 ms/block whether via a strided-output einsum or explicit
+transposes (round-2 A/B, CLAUDE.md).
+
+This kernel eliminates the layout tax by consuming the qkv projection's
+NATIVE output: the flat (N, T, 3D) tensor, viewed as (N, T, 3*H/2, 128)
+so every 128-lane column block is exactly TWO heads (head_dim 64). Each
+grid step loads one q row-block and the full K/V column block for a
+head pair straight from the flat array (free reshape, aligned DMA),
+runs two single-pass softmax attentions in VMEM (scores in fp32, never
+in HBM), and writes the (bq, 128) result into the flat (N, T, D) output
+that the projection matmul consumes directly. Zero transposes anywhere.
+
+Constraints: head_dim == 64 (the LSeg ViT-L/B regime), even head count,
+T fits VMEM as one K/V block (~1k tokens; true for 480-crop T=901).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_HD = 64  # head_dim this kernel is specialized for (2 heads / 128 lanes)
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale, t_valid, bq):
+    q2 = q_ref[0]                     # (bq, 128) — two heads
+    k2 = k_ref[0]                     # (T, 128)
+    v2 = v_ref[0]
+
+    outs = []
+    for h in (0, 1):
+        lo = h * _HD
+        qh = q2[:, lo: lo + _HD]
+        kh = k2[:, lo: lo + _HD]
+        vh = v2[:, lo: lo + _HD]
+        s = jax.lax.dot_general(
+            qh, kh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                      # (bq, T) fp32, VMEM-only
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), vh,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )                              # (bq, 64)
+        outs.append(o / l)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "block_q",
+                              "interpret"),
+)
+def flash_attention_flat(
+    qkv: jnp.ndarray,   # (N, T, 3*D) — the fused projection's output
+    num_heads: int,
+    scale: float,
+    block_q: int = 256,
+    interpret: bool = None,
+) -> jnp.ndarray:       # (N, T, D)
+    if interpret is None:
+        # off-TPU (CPU test mesh) the Mosaic lowering is unavailable;
+        # run the kernel in interpret mode there
+        interpret = jax.default_backend() != "tpu"
+    n, t, d3 = qkv.shape
+    d = d3 // 3
+    hd = d // num_heads
+    assert hd == _HD, (hd, "kernel specialized for head_dim 64")
+    assert num_heads % 2 == 0, num_heads
+    pairs = num_heads // 2
+    bq = min(block_q, t)
+    nq = pl.cdiv(t, bq)
+
+    # The last dim is blocked at 128 lanes directly on the flat array:
+    # q pair p lives at column block p, k at pairs+p, v at 2*pairs+p.
+    grid = (n, pairs, nq)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale, t_valid=t, bq=bq),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, bq, 128),
+                         lambda ni, p, qi: (ni, qi, p)),
+            pl.BlockSpec((1, t, 128),
+                         lambda ni, p, qi: (ni, 0, pairs + p)),
+            pl.BlockSpec((1, t, 128),
+                         lambda ni, p, qi: (ni, 0, 2 * pairs + p)),
+        ],
+        out_specs=pl.BlockSpec((1, bq, 128),
+                               lambda ni, p, qi: (ni, qi, p)),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv)
+    return out

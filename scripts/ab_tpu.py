@@ -76,6 +76,20 @@ def _cfg_dpa():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="dpa"))
 
 
+def _cfg_flashflat():
+    cfg = _cfg_base()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashflat"))
+
+
+def _cfg_flashflat_bq(bq):
+    def f():
+        cfg = _cfg_base()
+        return dataclasses.replace(
+            cfg, vit=dataclasses.replace(cfg.vit, attn_block_q=bq))
+    return f
+
+
 def _cfg_flash2():
     cfg = _cfg_base()
     return dataclasses.replace(
@@ -131,6 +145,10 @@ VARIANTS = {
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),
     "dpa": _mk(_cfg_dpa),
     "flash2": _mk(_cfg_flash2),
+    "flashflat": _mk(_cfg_flashflat),
+    "ff_bq128": _mk(_cfg_flashflat_bq(128)),
+    "ff_bq512": _mk(_cfg_flashflat_bq(512)),
+    "ff_bq1024": _mk(_cfg_flashflat_bq(1024)),
     "int8_flash": _mk(
         lambda: dataclasses.replace(
             _cfg_int8(),

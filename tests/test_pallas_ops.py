@@ -109,3 +109,59 @@ def test_pallas_dense_residual_matches_xla():
     ))
     np.testing.assert_allclose(got2, np.asarray(x @ w + b),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_flat_matches_einsum():
+    """The flat-layout flash kernel == the XLA einsum attention math
+    (fp32 reference), incl. a ragged T (non-multiple of the q block)."""
+    from lseg_tpu.ops.pallas_attention import flash_attention_flat
+
+    rng = np.random.RandomState(0)
+    n, t, h, hd = 2, 37, 4, 64
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(n, t, 3 * d).astype(np.float32))
+    scale = hd ** -0.5
+
+    got = np.asarray(flash_attention_flat(
+        qkv, num_heads=h, scale=scale, block_q=16, interpret=True))
+
+    r = np.asarray(qkv).reshape(n, t, 3, h, hd)
+    q, k, v = r[:, :, 0], r[:, :, 1], r[:, :, 2]
+    s = np.einsum("nqhd,nkhd->nhqk", q, k) * scale
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    ref = np.einsum("nhqk,nkhd->nqhd", p, v).reshape(n, t, d)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_flat_in_model():
+    """attn_impl='flashflat' wires through Attention (needs head_dim
+    64): same params as the xla impl, close outputs."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import Attention
+
+    rng = np.random.RandomState(1)
+    d, h = 128, 2
+    x = jnp.asarray(rng.randn(2, 21, d).astype(np.float32))
+    a_xla = Attention(d, h, impl="xla")
+    v = a_xla.init(jax.random.PRNGKey(0), x)
+    a_ff = Attention(d, h, impl="flashflat")
+    o1 = np.asarray(a_xla.apply(v, x))
+    # interpret mode on CPU via the kernel's jit static arg is not
+    # reachable through the module; run the real lowering only when a
+    # TPU is present, else compare in interpret mode at the op level
+    if jax.default_backend() == "tpu":
+        o2 = np.asarray(a_ff.apply(v, x))
+        np.testing.assert_allclose(o1, o2, rtol=2e-2, atol=2e-2)
+    else:
+        from lseg_tpu.ops.pallas_attention import flash_attention_flat
+
+        import flax.linen as nn
+        qkv = nn.Dense(3 * d).apply(
+            {"params": v["params"]["qkv"]}, x)
+        out = flash_attention_flat(qkv, h, (d // h) ** -0.5,
+                                   interpret=True)
+        o2 = np.asarray(nn.Dense(d).apply(
+            {"params": v["params"]["proj"]}, out))
+        np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)

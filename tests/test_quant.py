@@ -197,3 +197,47 @@ def test_tanh_gelu_drift_is_small():
     assert agree > 0.97, agree
     # logits stay close in absolute terms
     assert np.abs(a - b).max() < 0.5, np.abs(a - b).max()
+
+
+def test_predictor_honors_head_dtype():
+    """make_predictor's XLA head follows cfg.head_dtype (the fast
+    serving config runs the correlate/upsample streams in bf16; the
+    parity config in fp32) — label maps must agree on a tiny model."""
+    from lseg_tpu.engine.serve import make_predictor
+
+    cfg = tiny_vit_config()
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mf = LSegNet(fast_serving(cfg), dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    a = np.asarray(make_predictor(m, v)(x, txt))
+    b = np.asarray(make_predictor(mf, v)(x, txt))
+    assert (a == b).mean() > 0.97, (a == b).mean()
+
+
+def test_fast_serving_flashflat_drift():
+    """fast_serving enables the flat-layout flash attention kernel for
+    head_dim-64 models; its label maps must agree with the parity
+    (XLA fp32) model. Runs the kernel in interpret mode on CPU."""
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base, vit=dataclasses.replace(
+            base.vit, embed_dim=128, num_heads=2))
+    cfg_f = fast_serving(cfg)
+    assert cfg_f.vit.attn_impl == "flashflat"
+    # head_dim != 64 keeps the XLA fallback
+    assert fast_serving(base).vit.attn_impl == "xla"
+
+    m = LSegNet(cfg)
+    mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    a = np.asarray(m.apply(v, x, txt))
+    b = np.asarray(mf.apply(v, x, txt))
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.97, agree
+    assert np.abs(a - b).max() < 0.5, np.abs(a - b).max()

@@ -39,12 +39,14 @@ def main() -> None:
 
     from lseg_tpu.config import fast_serving, get_config
     from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
 
-    # The documented fast-serving configuration (bf16 attention scores +
-    # tanh GELU + bf16 head) — model-level drift bounds and argmax-
-    # agreement tests in tests/test_quant.py; evaluate.py defaults to
-    # the parity config and opts into this via --fast.
-    cfg = fast_serving(get_config("clip_vitl16_384"))
+    # The documented fast-serving configuration (flat-layout flash
+    # attention + tanh GELU + bf16 head + static int8 projections) —
+    # model-level drift bounds and argmax-agreement tests in
+    # tests/test_quant.py; evaluate.py defaults to the parity config
+    # and opts in via --fast [--int8].
+    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     batch = 8
@@ -59,6 +61,10 @@ def main() -> None:
     x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     variables = jax.jit(model.init)(key, x1, txt)
+    # load-time weight quantization: int8 kernels + per-channel scales
+    # live in the serving tree (ops/quant.quantize_tree)
+    variables = dict(variables)
+    variables["params"] = quantize_tree(variables["params"])
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
 
     @functools.partial(jax.jit, static_argnames=("n",))

@@ -50,10 +50,14 @@ def parse_args():
                    help="write the loaded weights as a raw .npz and exit "
                         "(the reference's test_lseg.py --export path)")
     p.add_argument("--fast", action="store_true",
-                   help="fast serving config (bf16 attention scores + "
+                   help="fast serving config (flat flash attention + "
                         "tanh GELU + bf16 head; see "
                         "lseg_tpu.config.fast_serving). Default is the "
                         "parity config.")
+    p.add_argument("--int8", action="store_true",
+                   help="with --fast: static int8 projections "
+                        "(load-time weight quantization; +14%% on v5e; "
+                        "drift bounds in tests/test_quant.py)")
     p.add_argument("--arch_option", type=int, default=0)
     p.add_argument("--block_depth", type=int, default=0)
     p.add_argument("--activation", default="lrelu")
@@ -117,9 +121,16 @@ def main():
     if args.fast:
         from lseg_tpu.config import fast_serving
 
-        cfg = fast_serving(cfg)
+        cfg = fast_serving(cfg, quant="static" if args.int8 else False)
+    elif args.int8:
+        raise SystemExit("--int8 requires --fast")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     variables, text_vars = load_reference_checkpoint(args.weights, cfg)
+    if args.int8:
+        from lseg_tpu.ops.quant import quantize_tree
+
+        variables = dict(variables)
+        variables["params"] = quantize_tree(variables["params"])
     if args.export:
         from lseg_tpu.train.checkpoint import export_params
 

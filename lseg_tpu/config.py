@@ -212,8 +212,9 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
       fp32 head tested in tests/test_quant.py).
     `quant='static'` additionally enables the pre-quantized int8
     projection path (serve the tree through
-    `lseg_tpu.ops.quant.quantize_tree`) — measured a TIE with bf16 at
-    flagship shapes, kept for larger regimes.
+    `lseg_tpu.ops.quant.quantize_tree`) — with the flash kernel moving
+    attention off the critical path, int8 matmuls WIN: 174.2 vs 152.5
+    img/s (bench.py's config; it was a tie when attention dominated).
 
     evaluate.py defaults to parity and opts into this via `--fast`.
     """

@@ -224,6 +224,9 @@ class Attention(nn.Module):
     # head-major (D,3,H,hd)/(H,hd,D) param layout for tensor parallelism
     tp_layout: bool = False
     block_q: int = 256  # flat flash kernel q row-block
+    # actual token count when the sequence is padded to a sublane
+    # multiple (flashflat path; pad keys are masked in the kernel)
+    valid_len: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -265,7 +268,8 @@ class Attention(nn.Module):
 
             qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
             out = flash_attention_flat(qkv, h, scale,
-                                       block_q=self.block_q)
+                                       block_q=self.block_q,
+                                       valid_len=self.valid_len)
             return _dense(d, self.dtype, "proj", self.quant)(out)
         if self.impl == "flash2":
             # flat qkv matmul (fastest emitter) + explicit transposes to
@@ -339,6 +343,7 @@ class Block(nn.Module):
     gelu: str = "exact"
     tp_layout: bool = False
     block_q: int = 256
+    valid_len: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -348,6 +353,7 @@ class Block(nn.Module):
         a = Attention(self.dim, self.num_heads, self.dtype,
                       self.attn_impl, self.attn_scores_dtype,
                       self.quant, self.tp_layout, self.block_q,
+                      self.valid_len,
                       name="attn")(y.reshape(n, t, d))
         x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
@@ -376,6 +382,7 @@ class BlockStack(nn.Module):
     gelu: str = "exact"
     tp_layout: bool = False
     block_q: int = 256
+    valid_len: Any = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -398,6 +405,7 @@ class BlockStack(nn.Module):
             gelu=self.gelu,
             tp_layout=self.tp_layout,
             block_q=self.block_q,
+            valid_len=self.valid_len,
             name="blocks",
         )(x, None)
         return x
@@ -460,6 +468,19 @@ class DenseViT(nn.Module):
         pos = jnp.concatenate([pos_tok, pos_grid], axis=1)
         x = x + pos.astype(self.dtype)
 
+        # flashflat path: pad the token count to a sublane multiple so
+        # the residual stream's 2D<->3D reshapes are free bitcasts
+        # (rows % 8 != 0 forces ~0.7 ms tile-repack copies per segment
+        # boundary on v5e). Pad keys are masked inside the kernel; pad
+        # rows never mix into real tokens (attention is the only
+        # cross-token op) and are sliced off the taps.
+        t_tokens = 1 + gh * gw
+        valid_len = None
+        if cfg.attn_impl == "flashflat" and t_tokens % 8 != 0:
+            tp = -(-t_tokens // 8) * 8
+            x = jnp.pad(x, ((0, 0), (0, tp - t_tokens), (0, 0)))
+            valid_len = t_tokens
+
         # Segmented scan: blocks [0..h0], (h0..h1], (h2..h3] — each segment
         # ends exactly at a hook, so the segment outputs ARE the taps.
         taps: List[jnp.ndarray] = []
@@ -482,8 +503,9 @@ class DenseViT(nn.Module):
                 gelu=cfg.mlp_gelu,
                 tp_layout=cfg.tp_layout,
                 block_q=cfg.attn_block_q,
+                valid_len=valid_len,
                 name=f"seg{i}",
             )(x)
-            taps.append(x)
+            taps.append(x[:, :t_tokens] if valid_len else x)
             prev = hook
         return taps, (gh, gw)

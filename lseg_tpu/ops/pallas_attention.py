@@ -66,7 +66,7 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale, t_valid, bq):
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "block_q",
-                              "interpret"),
+                              "interpret", "valid_len"),
 )
 def flash_attention_flat(
     qkv: jnp.ndarray,   # (N, T, 3*D) — the fused projection's output
@@ -74,7 +74,12 @@ def flash_attention_flat(
     scale: float,
     block_q: int = 256,
     interpret: bool = None,
+    valid_len: int = None,
 ) -> jnp.ndarray:       # (N, T, D)
+    """`valid_len` masks key/value positions >= valid_len out of the
+    softmax — used when the token sequence is padded to a sublane
+    multiple so the residual stream's 2D<->3D reshapes are free
+    bitcasts (rows % 8 == 0) instead of 0.7 ms tile-repack copies."""
     if interpret is None:
         # off-TPU (CPU test mesh) the Mosaic lowering is unavailable;
         # run the kernel in interpret mode there
@@ -93,7 +98,8 @@ def flash_attention_flat(
     grid = (n, pairs, nq)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale, t_valid=t, bq=bq),
+        functools.partial(_kernel, scale=scale,
+                          t_valid=valid_len or t, bq=bq),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, bq, 128),

@@ -43,7 +43,7 @@ def main() -> None:
     x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     v = jax.jit(model.init)(key, x1, txt)
-    v["params"] = prep(v["params"])
+    v = prep(dict(v))
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
 
     @jax.jit

@@ -165,3 +165,50 @@ def test_flash_attention_flat_in_model():
         o2 = np.asarray(nn.Dense(d).apply(
             {"params": v["params"]["proj"]}, out))
         np.testing.assert_allclose(o1, o2, rtol=1e-4, atol=1e-4)
+
+
+def test_flash_attention_flat_valid_len_masking():
+    """Sequence padded to a sublane multiple with valid_len masking ==
+    unpadded attention on the real tokens (pad keys excluded)."""
+    from lseg_tpu.ops.pallas_attention import flash_attention_flat
+
+    rng = np.random.RandomState(2)
+    n, t, h, hd = 1, 29, 2, 64
+    d = h * hd
+    qkv = rng.randn(n, t, 3 * d).astype(np.float32)
+    tp = 32
+    qkv_pad = np.concatenate(
+        [qkv, rng.randn(n, tp - t, 3 * d).astype(np.float32)], axis=1)
+    scale = hd ** -0.5
+    ref = np.asarray(flash_attention_flat(
+        jnp.asarray(qkv), h, scale, block_q=16, interpret=True))
+    got = np.asarray(flash_attention_flat(
+        jnp.asarray(qkv_pad), h, scale, block_q=16, interpret=True,
+        valid_len=t))
+    np.testing.assert_allclose(got[:, :t], ref, rtol=1e-5, atol=1e-6)
+
+
+def test_densevit_flashflat_pad_matches_xla():
+    """DenseViT with flashflat pads T to a sublane multiple internally;
+    taps must match the XLA path (same params)."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    # 64x48 image, patch 16 -> grid 4x3 -> T = 13 (pads to 16); hd 64
+    cfg_x = dc.replace(base, embed_dim=128, num_heads=2)
+    cfg_f = dc.replace(cfg_x, attn_impl="flashflat")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    m_x = DenseViT(cfg_x)
+    m_f = DenseViT(cfg_f)
+    v = m_x.init(jax.random.PRNGKey(0), x)
+    taps_x, grid = m_x.apply(v, x)
+    taps_f, grid_f = m_f.apply(v, x)
+    assert grid == grid_f == (4, 3)
+    for a, b in zip(taps_x, taps_f):
+        assert a.shape == b.shape == (2, 13, 128)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)

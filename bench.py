@@ -39,14 +39,15 @@ def main() -> None:
 
     from lseg_tpu.config import fast_serving, get_config
     from lseg_tpu.models.lseg import LSegNet
-    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.ops.quant import calibrate_act_scales, quantize_tree
 
     # The documented fast-serving configuration (flat-layout flash
-    # attention + tanh GELU + bf16 head + static int8 projections) —
-    # model-level drift bounds and argmax-agreement tests in
+    # attention + tanh GELU + bf16 deferred-norm head + static int8
+    # projections + int8 decoder convs with calibrated activation
+    # scales) — model-level drift bounds and argmax-agreement tests in
     # tests/test_quant.py; evaluate.py defaults to the parity config
     # and opts in via --fast [--int8].
-    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static")
+    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static_cal")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     batch = 8
@@ -62,10 +63,14 @@ def main() -> None:
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     variables = jax.jit(model.init)(key, x1, txt)
     # load-time weight quantization: int8 kernels + per-channel scales
-    # live in the serving tree (ops/quant.quantize_tree)
+    # live in the serving tree (ops/quant.quantize_tree; decoder=True
+    # also pre-quantizes the decoder/head1 conv kernels), followed by
+    # one activation-scale calibration forward (static PTQ)
     variables = dict(variables)
-    variables["params"] = quantize_tree(variables["params"])
+    variables["params"] = quantize_tree(variables["params"], decoder=True,
+                                        act_scale=True)
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
+    variables = calibrate_act_scales(model, variables, x, None)
 
     @functools.partial(jax.jit, static_argnames=("n",))
     def run(v, x, t, n):

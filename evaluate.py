@@ -55,8 +55,11 @@ def parse_args():
                         "lseg_tpu.config.fast_serving). Default is the "
                         "parity config.")
     p.add_argument("--int8", action="store_true",
-                   help="with --fast: static int8 projections "
-                        "(load-time weight quantization; +14%% on v5e; "
+                   help="with --fast: static int8 projections + "
+                        "decoder convs (load-time weight quantization "
+                        "with dynamic per-tensor activation scales — "
+                        "data-safe; bench.py additionally calibrates "
+                        "static activation scales on its own input; "
                         "drift bounds in tests/test_quant.py)")
     p.add_argument("--arch_option", type=int, default=0)
     p.add_argument("--block_depth", type=int, default=0)
@@ -130,7 +133,8 @@ def main():
         from lseg_tpu.ops.quant import quantize_tree
 
         variables = dict(variables)
-        variables["params"] = quantize_tree(variables["params"])
+        variables["params"] = quantize_tree(variables["params"],
+                                            decoder=True)
     if args.export:
         from lseg_tpu.train.checkpoint import export_params
 

@@ -54,6 +54,10 @@ class ViTConfig:
     # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
     # (~12% faster end to end on v5e; validate mIoU before adopting)
     mlp_gelu: str = "exact"
+    # flat flash kernel interior variant: 'v1' (per-head chains) or
+    # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
+    # head's softmax VPU work with the other's MXU matmuls)
+    attn_variant: str = "v1"
     # q row-block size of the flat flash-attention kernel (the kernel
     # clamps to T; 1024 = single q block at the 480-crop T=901, the
     # measured best: 152.6 vs 145.8 (bq 256) img/s on v5e)
@@ -117,6 +121,15 @@ class LSegConfig:
     # 'float32' (parity default) or 'bfloat16' (fast serving — halves
     # the (N, H/2, W/2, K) logit streams)
     head_dtype: str = "float32"
+    # int8 decoder/head1 convs (serving knob, like vit.quant_int8):
+    # False (default) | 'static' (pre-quantized int8 conv kernels via
+    # `quantize_tree(..., decoder=True)`, dynamic per-tensor activation
+    # scales) | 'static_cal' (calibrated activation scales via
+    # `ops.quant.calibrate_act_scales` — removes the per-call max|x|
+    # HBM passes). The decoder's 3x3 256-ch convs measure ~100% of the
+    # bf16 MXU roofline (scripts/conv_ab.py) so the int8 MXU rate is
+    # the only lever left there.
+    decoder_quant: Any = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32
@@ -210,11 +223,20 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
       tests/test_quant.py::test_tanh_gelu_drift_is_small);
     - bf16 correlation+upsample head (+3.7%; argmax agreement vs the
       fp32 head tested in tests/test_quant.py).
-    `quant='static'` additionally enables the pre-quantized int8
-    projection path (serve the tree through
-    `lseg_tpu.ops.quant.quantize_tree`) — with the flash kernel moving
-    attention off the critical path, int8 matmuls WIN: 174.2 vs 152.5
-    img/s (bench.py's config; it was a tie when attention dominated).
+    `quant` in ('static', 'static_cal') additionally enables the
+    pre-quantized int8 paths (serve the tree through
+    `lseg_tpu.ops.quant.quantize_tree(..., decoder=True)`):
+    - transformer projections — with the flash kernel moving attention
+      off the critical path, int8 matmuls WIN: 174.2 vs 152.5 img/s
+      (it was a tie when attention dominated);
+    - decoder/head1 convs + bf16 fusion upsamples — 197 vs 193 img/s
+      (the decoder convs were already at ~100% of the bf16 conv
+      roofline, so the int8 MXU rate is the only lever there);
+    - 'static_cal': calibrated per-tensor activation scales for the
+      decoder convs (`ops.quant.calibrate_act_scales`) — removes the
+      per-call max|x| HBM passes: 204.9 vs 196.9 img/s (+4%).
+    The bf16 head also defers the per-pixel L2 norm to after the
+    correlation matmul (exact reassociation, +2.8%).
 
     evaluate.py defaults to parity and opts into this via `--fast`.
     """
@@ -227,9 +249,12 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
             attn_impl="flashflat" if use_flashflat else vit.attn_impl,
             attn_scores_dtype="bfloat16",
             mlp_gelu="tanh",
-            quant_int8=quant if quant else vit.quant_int8,
+            quant_int8="static" if quant else vit.quant_int8,
         )
-    return dataclasses.replace(cfg, vit=vit, head_dtype="bfloat16")
+    return dataclasses.replace(
+        cfg, vit=vit, head_dtype="bfloat16",
+        decoder_quant=quant if quant else cfg.decoder_quant,
+    )
 
 
 def get_config(

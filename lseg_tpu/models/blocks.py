@@ -26,19 +26,50 @@ import jax.numpy as jnp
 from lseg_tpu.ops.resize import upsample2x
 
 
+def _conv(features, kernel_size, quant, dtype, name, strides=(1, 1),
+          padding=((0, 0), (0, 0)), use_bias=True):
+    """nn.Conv or its pre-quantized int8 twin (`StaticQuantConv`),
+    selected by the serving `quant` knob ('static' -> int8 with dynamic
+    per-tensor activation scales; 'static_cal' -> calibrated scales,
+    see ops.quant.calibrate_act_scales)."""
+    if quant in ("static", "static_cal"):
+        from lseg_tpu.ops.quant import StaticQuantConv
+        return StaticQuantConv(
+            features, kernel_size, strides=strides,
+            padding=tuple(tuple(p) for p in padding),
+            use_bias=use_bias, dtype=dtype,
+            static_act=quant == "static_cal", name=name,
+        )
+    return nn.Conv(
+        features, kernel_size, strides=strides,
+        padding=[tuple(p) for p in padding], use_bias=use_bias,
+        dtype=dtype, name=name,
+    )
+
+
 class ProjectReadout(nn.Module):
     """Fuse the cls token into each patch token: concat(patch, cls) ->
-    Linear(2D->D) -> exact GELU (reference: lseg_vit.py:79-90)."""
+    Linear(2D->D) -> exact GELU (reference: lseg_vit.py:79-90).
+
+    `quant` in ('static', 'static_cal') swaps the (2D, D) projection
+    for the pre-quantized int8 dense (0.15 ms/tap bf16 at ViT-L batch
+    8 — the largest dense matmul outside the transformer blocks)."""
 
     dim: int
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         n, t, d = x.shape
         cls = jnp.broadcast_to(x[:, :1], (n, t - 1, d))
         feats = jnp.concatenate([x[:, 1:], cls], axis=-1)
-        y = nn.Dense(self.dim, dtype=self.dtype, name="project")(feats)
+        if self.quant in ("static", "static_cal"):
+            from lseg_tpu.ops.quant import StaticQuantDense
+            y = StaticQuantDense(self.dim, dtype=self.dtype,
+                                 name="project")(feats)
+        else:
+            y = nn.Dense(self.dim, dtype=self.dtype, name="project")(feats)
         return jax.nn.gelu(y, approximate=False)
 
 
@@ -49,6 +80,7 @@ def apply_readout(
     dim: int,
     dtype: Any,
     name: str,
+    quant: Any = False,
 ) -> jnp.ndarray:
     """Apply one of the three readout ops (reference: lseg_vit.py:204-218).
     Returns patch tokens only, (N, gh*gw, D)."""
@@ -57,7 +89,8 @@ def apply_readout(
     if readout == "add":
         return x[:, 1:] + x[:, :1]
     if readout == "project":
-        return ProjectReadout(dim, dtype, parent=module_parent, name=name)(x)
+        return ProjectReadout(dim, dtype, quant,
+                              parent=module_parent, name=name)(x)
     raise ValueError(f"unknown readout {readout!r}")
 
 
@@ -108,6 +141,7 @@ class Reassemble(nn.Module):
     vit_dim: int
     readout: str
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(
@@ -115,12 +149,13 @@ class Reassemble(nn.Module):
     ) -> jnp.ndarray:
         gh, gw = grid
         x = apply_readout(
-            self, tokens, self.readout, self.vit_dim, self.dtype, "readout"
+            self, tokens, self.readout, self.vit_dim, self.dtype,
+            "readout", self.quant,
         )
         n = x.shape[0]
         x = x.reshape(n, gh, gw, self.vit_dim)
-        x = nn.Conv(
-            self.out_channels, (1, 1), dtype=self.dtype, name="proj"
+        x = _conv(
+            self.out_channels, (1, 1), self.quant, self.dtype, "proj"
         )(x)
         if self.resample > 1:
             x = TokenUpsample(
@@ -128,13 +163,9 @@ class Reassemble(nn.Module):
                 name="resample",
             )(x)
         elif self.resample < 1:
-            x = nn.Conv(
-                self.out_channels,
-                (3, 3),
-                strides=(2, 2),
-                padding=[(1, 1), (1, 1)],
-                dtype=self.dtype,
-                name="resample",
+            x = _conv(
+                self.out_channels, (3, 3), self.quant, self.dtype,
+                "resample", strides=(2, 2), padding=((1, 1), (1, 1)),
             )(x)
         return x
 
@@ -146,13 +177,14 @@ class ResidualConvUnit(nn.Module):
     features: int
     use_bn: bool = True
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
         out = jax.nn.relu(x)
-        out = nn.Conv(
-            self.features, (3, 3), padding=[(1, 1), (1, 1)],
-            use_bias=not self.use_bn, dtype=self.dtype, name="conv1",
+        out = _conv(
+            self.features, (3, 3), self.quant, self.dtype, "conv1",
+            padding=((1, 1), (1, 1)), use_bias=not self.use_bn,
         )(out)
         if self.use_bn:
             out = nn.BatchNorm(
@@ -160,9 +192,9 @@ class ResidualConvUnit(nn.Module):
                 dtype=self.dtype, name="bn1",
             )(out)
         out = jax.nn.relu(out)
-        out = nn.Conv(
-            self.features, (3, 3), padding=[(1, 1), (1, 1)],
-            use_bias=not self.use_bn, dtype=self.dtype, name="conv2",
+        out = _conv(
+            self.features, (3, 3), self.quant, self.dtype, "conv2",
+            padding=((1, 1), (1, 1)), use_bias=not self.use_bn,
         )(out)
         if self.use_bn:
             out = nn.BatchNorm(
@@ -181,6 +213,7 @@ class FeatureFusionBlock(nn.Module):
     features: int
     use_bn: bool = True
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(
@@ -189,14 +222,22 @@ class FeatureFusionBlock(nn.Module):
     ) -> jnp.ndarray:
         if skip is not None:
             x = x + ResidualConvUnit(
-                self.features, self.use_bn, self.dtype, name="rcu1"
+                self.features, self.use_bn, self.dtype, self.quant,
+                name="rcu1"
             )(skip, train)
         x = ResidualConvUnit(
-            self.features, self.use_bn, self.dtype, name="rcu2"
+            self.features, self.use_bn, self.dtype, self.quant,
+            name="rcu2"
         )(x, train)
-        x = upsample2x(x, align_corners=True)
-        return nn.Conv(
-            self.features, (1, 1), dtype=self.dtype, name="out_conv"
+        # the int8 serving decoder also runs the x2 bilinear in module
+        # dtype (halves its streams); the parity path keeps fp32
+        x = upsample2x(x, align_corners=True,
+                       compute_dtype=(self.dtype
+                                      if self.quant in ("static",
+                                                        "static_cal")
+                                      else jnp.float32))
+        return _conv(
+            self.features, (1, 1), self.quant, self.dtype, "out_conv"
         )(x)
 
 
@@ -206,13 +247,15 @@ class Scratch(nn.Module):
 
     features: int
     dtype: Any = jnp.float32
+    quant: Any = False
 
     @nn.compact
     def __call__(self, layers: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
         return [
-            nn.Conv(
-                self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                use_bias=False, dtype=self.dtype, name=f"layer{i + 1}_rn",
+            _conv(
+                self.features, (3, 3), self.quant, self.dtype,
+                f"layer{i + 1}_rn", padding=((1, 1), (1, 1)),
+                use_bias=False,
             )(layer)
             for i, layer in enumerate(layers)
         ]

@@ -227,6 +227,8 @@ class Attention(nn.Module):
     # actual token count when the sequence is padded to a sublane
     # multiple (flashflat path; pad keys are masked in the kernel)
     valid_len: Any = None
+    # flat flash kernel interior variant ('v1' | 'v2' staged/exp2)
+    kernel_variant: str = "v1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -269,7 +271,8 @@ class Attention(nn.Module):
             qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
             out = flash_attention_flat(qkv, h, scale,
                                        block_q=self.block_q,
-                                       valid_len=self.valid_len)
+                                       valid_len=self.valid_len,
+                                       variant=self.kernel_variant)
             return _dense(d, self.dtype, "proj", self.quant)(out)
         if self.impl == "flash2":
             # flat qkv matmul (fastest emitter) + explicit transposes to
@@ -344,6 +347,7 @@ class Block(nn.Module):
     tp_layout: bool = False
     block_q: int = 256
     valid_len: Any = None
+    kernel_variant: str = "v1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -353,7 +357,7 @@ class Block(nn.Module):
         a = Attention(self.dim, self.num_heads, self.dtype,
                       self.attn_impl, self.attn_scores_dtype,
                       self.quant, self.tp_layout, self.block_q,
-                      self.valid_len,
+                      self.valid_len, self.kernel_variant,
                       name="attn")(y.reshape(n, t, d))
         x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
@@ -383,6 +387,7 @@ class BlockStack(nn.Module):
     tp_layout: bool = False
     block_q: int = 256
     valid_len: Any = None
+    kernel_variant: str = "v1"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -406,6 +411,7 @@ class BlockStack(nn.Module):
             tp_layout=self.tp_layout,
             block_q=self.block_q,
             valid_len=self.valid_len,
+            kernel_variant=self.kernel_variant,
             name="blocks",
         )(x, None)
         return x
@@ -504,6 +510,7 @@ class DenseViT(nn.Module):
                 tp_layout=cfg.tp_layout,
                 block_q=cfg.attn_block_q,
                 valid_len=valid_len,
+                kernel_variant=cfg.attn_variant,
                 name=f"seg{i}",
             )(x)
             taps.append(x[:, :t_tokens] if valid_len else x)

@@ -18,6 +18,7 @@ golden tests. Production path keeps bf16/fp32.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -37,10 +38,30 @@ def correlate(
     logit_scale: float = 1.0 / 0.07,
     emulate_fp16: bool = False,
     compute_dtype=jnp.float32,
+    defer_pixel_norm: bool = False,
 ) -> jnp.ndarray:
     """Temperature-scaled cosine similarity logits (N, H, W, K) in
     `compute_dtype` (fp32 default; bfloat16 halves the NHWK logit
-    stream for the fast serving head — normalization stays fp32)."""
+    stream for the fast serving head — normalization stays fp32).
+
+    `defer_pixel_norm` moves the per-pixel L2 normalization AFTER the
+    matmul: (e/|e|)·t == (e·t)/|e| exactly, so this is a pure
+    reassociation (same math, different fp rounding) — but it avoids
+    materializing the normalized (N,H,W,C) embedding map (~0.5 GB at
+    batch 8, 480 crop): the raw head1 output feeds the MXU directly and
+    the 1/|e| broadcast fuses into the (N,H,W,K) logit epilogue."""
+    if defer_pixel_norm and not emulate_fp16:
+        e = image_features
+        txt = l2_normalize(text_features.astype(jnp.float32))
+        inv = jax.lax.rsqrt(jnp.maximum(jnp.sum(
+            jnp.square(e.astype(jnp.float32)), axis=-1, keepdims=True),
+            1e-24))
+        logits = jnp.einsum(
+            "nhwc,kc->nhwk", e.astype(compute_dtype),
+            (logit_scale * txt).astype(compute_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (logits.astype(jnp.float32) * inv).astype(compute_dtype)
     img = l2_normalize(image_features.astype(jnp.float32))
     txt = l2_normalize(text_features.astype(jnp.float32))
     if emulate_fp16:

@@ -64,9 +64,48 @@ def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale, t_valid, bq):
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
+def _kernel_v2(q_ref, k_ref, v_ref, out_ref, *, scale, t_valid, bq):
+    """Stage-separated variant: both heads' QK matmuls first, then both
+    softmaxes, then both PVs — independent chains give the Mosaic
+    scheduler room to overlap head-0 VPU (exp) with head-1 MXU work.
+    exp2 with the log2(e) factor folded into `scale` replaces exp."""
+    q2 = q_ref[0]
+    k2 = k_ref[0]
+    v2 = v_ref[0]
+    s2 = jnp.float32(scale * 1.4426950408889634)  # scale * log2(e)
+
+    ss = []
+    for h in (0, 1):
+        lo = h * _HD
+        s = jax.lax.dot_general(
+            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * s2
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        ss.append(s)
+    ps = []
+    for s in ss:
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp2(s - m)  # softmax invariant under base change
+        ps.append((p, jnp.sum(p, axis=1, keepdims=True)))
+    outs = []
+    for h, (p, l) in zip((0, 1), ps):
+        lo = h * _HD
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "block_q",
-                              "interpret", "valid_len"),
+                              "interpret", "valid_len", "variant"),
 )
 def flash_attention_flat(
     qkv: jnp.ndarray,   # (N, T, 3*D) — the fused projection's output
@@ -75,6 +114,7 @@ def flash_attention_flat(
     block_q: int = 256,
     interpret: bool = None,
     valid_len: int = None,
+    variant: str = "v1",
 ) -> jnp.ndarray:       # (N, T, D)
     """`valid_len` masks key/value positions >= valid_len out of the
     softmax — used when the token sequence is padded to a sublane
@@ -97,8 +137,9 @@ def flash_attention_flat(
     # q pair p lives at column block p, k at pairs+p, v at 2*pairs+p.
     grid = (n, pairs, nq)
 
+    kern = _kernel_v2 if variant == "v2" else _kernel
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale,
+        functools.partial(kern, scale=scale,
                           t_valid=valid_len or t, bq=bq),
         grid=grid,
         in_specs=[

@@ -61,14 +61,17 @@ def _kernel(
     ah = jnp.maximum(0.0, 1.0 - jnp.abs(src - ii))
 
     dma.wait()
-    slab = in_scratch[:].astype(jnp.float32)        # (tile_i, w, kp)
-    aw = aw_ref[:].astype(jnp.float32)              # (2w, w)
+    # matmuls run in the logits' own dtype (bf16 in the fast serving
+    # path — fp32 MXU rate is 4x lower, which was the original kernel's
+    # hidden cost) with fp32 accumulation.
+    slab = in_scratch[:]                            # (tile_i, w, kp)
+    aw = aw_ref[:].astype(slab.dtype)               # (2w, w)
 
     rows = jax.lax.dot_general(                     # (tile_o, w*kp)
-        ah, slab.reshape(tile_i, w * kp),
+        ah.astype(slab.dtype), slab.reshape(tile_i, w * kp),
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).reshape(tile_o, w, kp)
+    ).astype(slab.dtype).reshape(tile_o, w, kp)
     up = jax.lax.dot_general(                       # (tile_o, 2w, kp)
         rows, aw,
         dimension_numbers=(((1,), (1,)), ((), ())),

@@ -97,7 +97,51 @@ def _cfg_flash2():
 
 
 def _prep_int8(v):
+    # fast_serving(quant='static') now covers the decoder too
+    return {**v, "params": quantize_tree(v["params"], decoder=True)}
+
+
+def _cfg_int8_dec():
+    # vit-only int8 (decoder left bf16) — the pre-adoption baseline
+    return dataclasses.replace(_cfg_int8(), decoder_quant=False)
+
+
+def _prep_int8_dec(v):
     return {**v, "params": quantize_tree(v["params"])}
+
+
+def _cfg_int8_cal():
+    return dataclasses.replace(_cfg_int8(), decoder_quant="static_cal")
+
+
+def _prep_int8_cal(v):
+    """Static calibrated activation scales: quantize with act_scale
+    placeholders, then one calibration forward on the bench input."""
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    cfg = _cfg_int8_cal()
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    vv = {**v, "params": quantize_tree(v["params"], decoder=True,
+                                       act_scale=True)}
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 480, 480, 3), jnp.float32)
+    return calibrate_act_scales(model, vv, x, None)
+
+
+def _cfg_int8_v2():
+    cfg = _cfg_int8_cal()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_variant="v2"))
+
+
+def _cfg_int8_dec2():
+    return dataclasses.replace(_cfg_int8(), decoder_quant="static",
+                               use_bn=False)
+
+
+def _prep_int8_dec2(v):
+    p = fold_bn_tree(v["params"], v.get("batch_stats"))
+    return {"params": quantize_tree(p, decoder=True)}
 
 
 def _prep_bnfold(v):
@@ -107,11 +151,13 @@ def _prep_bnfold(v):
 def _fwd_bf16_argmax(model, cfg):
     """argmax straight on the bf16 upsampled logits (convert to fp32 is
     monotonic, so the label map is identical) — skips the 1.1 GB fp32
-    logit stream of the full-model path."""
+    logit stream of the full-model path. Matches the adopted fast head
+    (deferred pixel norm)."""
     def fwd(v, x, t):
         emb = model.apply(v, x, None)
         logits = correlate(emb, t, logit_scale=cfg.logit_scale,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16,
+                           defer_pixel_norm=True)
         up = upsample2x(logits, align_corners=True,
                         compute_dtype=jnp.bfloat16)
         return jnp.argmax(up, axis=-1)
@@ -138,9 +184,43 @@ def _fwd_pallas_full(model, cfg):
     return fwd
 
 
+def _fwd_defer_norm(model, cfg):
+    """Deferred pixel-norm head: correlate on the RAW head1 output,
+    scale logits by 1/|e| after (exact reassociation; avoids the
+    normalized-embedding materialization)."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = correlate(emb, t, logit_scale=cfg.logit_scale,
+                           compute_dtype=jnp.bfloat16,
+                           defer_pixel_norm=True)
+        up = upsample2x(logits, align_corners=True,
+                        compute_dtype=jnp.bfloat16)
+        return jnp.argmax(up, axis=-1)
+    return fwd
+
+
+def _fwd_int8_pallas_head(model, cfg):
+    """int8 ViT + XLA bf16 correlate + Pallas streamed upsample+argmax
+    (re-measure of the round-2 dead end now that the ViT is 2x faster
+    and the head is a larger fraction)."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = correlate(emb, t, logit_scale=cfg.logit_scale,
+                           compute_dtype=jnp.bfloat16)
+        return upsample2x_argmax(logits)
+    return fwd
+
+
 VARIANTS = {
     "base": _mk(_cfg_base),
     "int8": _mk(_cfg_int8, prep=_prep_int8),
+    "int8_ph": _mk(_cfg_int8, prep=_prep_int8,
+                   fwd_fn=_fwd_int8_pallas_head),
+    "int8_dn": _mk(_cfg_int8, prep=_prep_int8, fwd_fn=_fwd_defer_norm),
+    "int8_vitonly": _mk(_cfg_int8_dec, prep=_prep_int8_dec),
+    "int8_cal": _mk(_cfg_int8_cal, prep=_prep_int8_cal),
+    "int8_v2": _mk(_cfg_int8_v2, prep=_prep_int8_cal),
+    "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),
     "flash": _mk(_cfg_flash),
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),
     "dpa": _mk(_cfg_dpa),
@@ -155,6 +235,8 @@ VARIANTS = {
             vit=dataclasses.replace(_cfg_int8().vit, attn_impl="flash")),
         prep=_prep_int8),
     "bf16argmax": _mk(_cfg_base, fwd_fn=_fwd_bf16_argmax),
+    "int8_bf16am": _mk(_cfg_int8, prep=_prep_int8,
+                       fwd_fn=_fwd_bf16_argmax),
     "pallas_head": _mk(_cfg_base, fwd_fn=_fwd_pallas_head),
     "pallas_full": _mk(_cfg_base, fwd_fn=_fwd_pallas_full),
 }

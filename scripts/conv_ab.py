@@ -84,9 +84,28 @@ def conv_ctx_barrier(x, w, b):
     return jax.nn.relu(y + b)
 
 
+def conv_int8(x, w, b):
+    """Static-int8 conv path (per-tensor dyn activations, int8 kernel,
+    int32 MXU accumulation) — checks the s8xs8->s32 conv actually runs
+    at the 2x MXU rate on v5e."""
+    wq = jnp.clip(jnp.round(w.astype(jnp.float32) / 0.01), -127, 127
+                  ).astype(jnp.int8)
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)))
+    sx = jnp.maximum(amax, 1e-8) / 127.0
+    xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    y = jax.lax.conv_general_dilated(
+        xq, wq, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        preferred_element_type=jnp.int32,
+    )
+    y = (y.astype(jnp.float32) * (sx * 0.01)).astype(jnp.bfloat16)
+    return jax.nn.relu(y + b)
+
+
 FNS = {"conv": conv, "conv_ctx": conv_ctx,
        "conv_ctx_barrier": conv_ctx_barrier,
-       "shifts": shifts, "wide": wide}
+       "shifts": shifts, "wide": wide, "conv_int8": conv_int8}
 
 
 def main() -> None:

@@ -30,12 +30,17 @@ from lseg_tpu.models.vit import DenseViT
 
 def main() -> None:
     batch, iters, reps = 8, 12, 3
-    cfg = fast_serving(get_config("clip_vitl16_384"))
+    int8 = "--int8" in sys.argv
+    cfg = fast_serving(get_config("clip_vitl16_384"),
+                       quant="static" if int8 else False)
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     vit = DenseViT(cfg.vit, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     v = jax.jit(model.init)(key, jnp.zeros((1, 480, 480, 3)), txt)
+    if int8:
+        from lseg_tpu.ops.quant import quantize_tree
+        v = {**v, "params": quantize_tree(v["params"], decoder=True)}
     vv = {"params": v["params"]["vit"]}
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
 

@@ -212,3 +212,20 @@ def test_densevit_flashflat_pad_matches_xla():
         assert a.shape == b.shape == (2, 13, 128)
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_flat_v2_matches_v1():
+    """Kernel interior variant v2 (stage-separated heads + exp2) is the
+    same math as v1."""
+    from lseg_tpu.ops.pallas_attention import flash_attention_flat
+
+    rng = np.random.RandomState(3)
+    n, t, h, hd = 2, 40, 4, 64
+    d = h * hd
+    qkv = jnp.asarray(rng.randn(n, t, 3 * d).astype(np.float32))
+    scale = hd ** -0.5
+    a = np.asarray(flash_attention_flat(qkv, h, scale, block_q=16,
+                                        interpret=True))
+    b = np.asarray(flash_attention_flat(qkv, h, scale, block_q=16,
+                                        interpret=True, variant="v2"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

@@ -241,3 +241,141 @@ def test_fast_serving_flashflat_drift():
     agree = (a.argmax(-1) == b.argmax(-1)).mean()
     assert agree > 0.97, agree
     assert np.abs(a - b).max() < 0.5, np.abs(a - b).max()
+
+
+def test_defer_pixel_norm_is_exact_reassociation():
+    """correlate(defer_pixel_norm=True) == normalize-then-matmul up to
+    fp rounding: (e/|e|)*t == (e*t)/|e|."""
+    from lseg_tpu.ops.correlation import correlate
+
+    rng = np.random.RandomState(0)
+    e = jnp.asarray(rng.randn(2, 6, 6, 32).astype(np.float32))
+    t = jnp.asarray(rng.randn(5, 32).astype(np.float32))
+    a = np.asarray(correlate(e, t, compute_dtype=jnp.float32))
+    b = np.asarray(correlate(e, t, compute_dtype=jnp.float32,
+                             defer_pixel_norm=True))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-5)
+
+
+def test_static_quant_conv_matches_fp_conv():
+    """StaticQuantConv on a quantize_tree'd nn.Conv kernel tracks the
+    fp32 conv (symmetric-int8 error regime)."""
+    import flax.linen as nn
+
+    from lseg_tpu.ops.quant import StaticQuantConv
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 8, 8, 16).astype(np.float32))
+    conv = nn.Conv(24, (3, 3), padding=[(1, 1), (1, 1)])
+    v = conv.init(jax.random.PRNGKey(0), x)
+    # wrap under a path quantize_tree's decoder set matches
+    tree = {"scratch": {"layer1_rn": v["params"]}}
+    qtree = quantize_tree(tree, leaves=set(), decoder=True)
+    qp = qtree["scratch"]["layer1_rn"]
+    assert qp["kernel_q"].dtype == jnp.int8
+    assert qp["scale"].shape == (24,)
+    qconv = StaticQuantConv(24, (3, 3), padding=((1, 1), (1, 1)),
+                            dtype=jnp.float32)
+    ref = np.asarray(conv.apply(v, x))
+    got = np.asarray(qconv.apply({"params": qp}, x))
+    err = np.abs(ref - got).max() / (np.abs(ref).max() + 1e-9)
+    assert err < 0.05, err
+
+
+def test_decoder_quant_model_from_quantize_tree():
+    """decoder_quant='static': quantize_tree(decoder=True) produces the
+    exact tree the int8-decoder model expects, and outputs track the
+    fp32-decoder model (same knob class as the other serving opt-ins)."""
+    cfg = tiny_vit_config()
+    cfg_q = dataclasses.replace(
+        cfg,
+        vit=dataclasses.replace(cfg.vit, quant_int8="static"),
+        decoder_quant="static",
+    )
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mq = LSegNet(cfg_q, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"], decoder=True)
+    ref_shapes = jax.tree_util.tree_map(
+        lambda a: (a.shape, a.dtype),
+        mq.init(jax.random.PRNGKey(0), x, txt)["params"],
+    )
+    got_shapes = jax.tree_util.tree_map(
+        lambda a: (a.shape, a.dtype), vq["params"]
+    )
+    assert ref_shapes == got_shapes
+    o = np.asarray(m.apply(v, x, txt))
+    oq = np.asarray(mq.apply(vq, x, txt))
+    cos = (o * oq).sum() / (
+        np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
+    )
+    assert cos > 0.99, cos
+    agree = (o.argmax(-1) == oq.argmax(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_decoder_quant_composes_with_bn_fold():
+    """Serving stack: fold BN -> quantize (vit + decoder) drops into a
+    use_bn=False + decoder_quant='static' model."""
+    from lseg_tpu.utils.fold_bn import fold_bn_tree
+
+    cfg = tiny_vit_config()
+    cfg_q = dataclasses.replace(
+        cfg,
+        vit=dataclasses.replace(cfg.vit, quant_int8="static"),
+        decoder_quant="static",
+        use_bn=False,
+    )
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mq = LSegNet(cfg_q, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    folded = fold_bn_tree(v["params"], v.get("batch_stats"))
+    vq = {"params": quantize_tree(folded, decoder=True)}
+    o = np.asarray(m.apply(v, x, txt))
+    oq = np.asarray(mq.apply(vq, x, txt))
+    cos = (o * oq).sum() / (
+        np.linalg.norm(o) * np.linalg.norm(oq) + 1e-9
+    )
+    assert cos > 0.99, cos
+    agree = (o.argmax(-1) == oq.argmax(-1)).mean()
+    assert agree > 0.95, agree
+
+
+def test_calibrated_act_scales():
+    """decoder_quant='static_cal': calibration fills act_scale params
+    via the quant_cal sow collection, and the calibrated model tracks
+    the fp32-decoder model on the calibration distribution."""
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    cfg = tiny_vit_config()
+    cfg_q = dataclasses.replace(
+        cfg,
+        vit=dataclasses.replace(cfg.vit, quant_int8="static"),
+        decoder_quant="static_cal",
+    )
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    mq = LSegNet(cfg_q, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"], decoder=True,
+                                 act_scale=True)
+    # placeholder scale before calibration
+    assert float(
+        vq["params"]["refinenet1"]["rcu1"]["conv1"]["act_scale"]) == 1.0
+    vq = calibrate_act_scales(mq, vq, x, None)
+    sc = float(vq["params"]["refinenet1"]["rcu1"]["conv1"]["act_scale"])
+    assert sc != 1.0 and sc > 0
+    o = np.asarray(m.apply(v, x, txt))
+    oq = np.asarray(mq.apply(vq, x, txt))
+    agree = (o.argmax(-1) == oq.argmax(-1)).mean()
+    assert agree > 0.95, agree

@@ -202,6 +202,25 @@ class _ProjHeadsParam(nn.Module):
         return y + bias.astype(self.dtype)
 
 
+class _QKVStaticParams(nn.Module):
+    """Declares the StaticQuantDense qkv param triplet (kernel_q,
+    scale, bias) without running the matmul — the fused flash kernel
+    consumes the raw params. Named 'qkv' so the tree is identical to
+    the unfused StaticQuantDense path (same quantize_tree output)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_dim: int):
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (in_dim, self.features), jnp.int8)
+        sw = self.param("scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        return kq, sw, b
+
+
 class Attention(nn.Module):
     """Standard ViT multi-head self-attention (timm Block.attn semantics:
     fused qkv projection with bias, scale = head_dim**-0.5).
@@ -258,7 +277,24 @@ class Attention(nn.Module):
                 qkv[0], qkv[1], qkv[2], scale, self.dtype
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
-        if self.impl == "flashflat" and hd == 64 and h % 2 == 0:
+        if (self.impl == "flashq" and hd == 64 and h % 2 == 0
+                and self.quant == "static"):
+            # int8 qkv projection fused INTO the flash kernel: consumes
+            # the per-row int8-quantized LN output; the (N, T, 3D) qkv
+            # tensor never exists in HBM (ops/pallas_attention.py,
+            # flash_attention_qkv_fused).
+            from lseg_tpu.ops.pallas_attention import (
+                flash_attention_qkv_fused,
+            )
+            from lseg_tpu.ops.quant import quantize_rows
+
+            xq, sx = quantize_rows(x)
+            kq, sw, b = _QKVStaticParams(3 * d, name="qkv")(d)
+            out = flash_attention_qkv_fused(
+                xq, sx, kq, sw, b, h, scale, valid_len=self.valid_len)
+            return _dense(d, self.dtype, "proj", self.quant)(out)
+        if (self.impl in ("flashflat", "flashq") and hd == 64
+                and h % 2 == 0):
             # custom flat-layout flash kernel: consumes the fused qkv
             # matmul's native (N, T, 3D) output and emits flat (N, T, D)
             # — no layout transitions at either boundary. Measured
@@ -482,7 +518,8 @@ class DenseViT(nn.Module):
         # cross-token op) and are sliced off the taps.
         t_tokens = 1 + gh * gw
         valid_len = None
-        if cfg.attn_impl == "flashflat" and t_tokens % 8 != 0:
+        if (cfg.attn_impl in ("flashflat", "flashq")
+                and t_tokens % 8 != 0):
             tp = -(-t_tokens // 8) * 8
             x = jnp.pad(x, ((0, 0), (0, tp - t_tokens), (0, 0)))
             valid_len = t_tokens

@@ -159,3 +159,114 @@ def flash_attention_flat(
         interpret=interpret,
     )(qkv, qkv, qkv)
     return out
+
+
+def _kernel_qkv(xq_ref, sx_ref, w_ref, sw_ref, b_ref, out_ref,
+                *, scale, t_valid):
+    """Fused int8 qkv-projection + two-head flash attention.
+
+    Per (batch, head-pair) grid step: the int8 LN output (T, D) hits
+    the MXU against this pair's pre-quantized weight slice (D, 384) —
+    384 columns = [q_pair | k_pair | v_pair], each 128 lanes = 2 heads
+    of head_dim 64 — dequantizes in VMEM, and runs the same single-pass
+    fp32 softmax as `_kernel`. The (N, T, 3D) qkv tensor never exists
+    in HBM (saves its write + read, ~88 MB/block at the flagship
+    shape)."""
+    xq = xq_ref[0]                       # (T, D) int8
+    sx = sx_ref[0]                       # (T, 1) fp32 row scales
+    w = w_ref[0]                         # (D, 384) int8
+    sw = sw_ref[0]                       # (1, 384) fp32 col scales
+    b = b_ref[0]                         # (1, 384) fp32 bias
+
+    acc = jax.lax.dot_general(
+        xq, w, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = (acc.astype(jnp.float32) * sx * sw + b).astype(jnp.bfloat16)
+    q2 = qkv[:, 0:128]
+    k2 = qkv[:, 128:256]
+    v2 = qkv[:, 256:384]
+
+    outs = []
+    for h in (0, 1):
+        lo = h * _HD
+        s = jax.lax.dot_general(
+            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret",
+                              "valid_len"),
+)
+def flash_attention_qkv_fused(
+    xq: jnp.ndarray,     # (N, T, D) int8 — per-row quantized LN output
+    sx: jnp.ndarray,     # (N, T, 1) fp32 row scales (amax/127)
+    wq: jnp.ndarray,     # (D, 3D) int8 pre-quantized qkv kernel
+    sw: jnp.ndarray,     # (3D,) fp32 per-output-channel scales
+    bias: jnp.ndarray,   # (3D,) fp32
+    num_heads: int,
+    scale: float,
+    interpret: bool = None,
+    valid_len: int = None,
+) -> jnp.ndarray:        # (N, T, D) bf16
+    """Int8 qkv projection fused INTO the flat flash-attention kernel.
+
+    The weight matrix is regrouped in-graph to (pairs, D, 384) — one
+    contiguous [q|k|v] slice per head pair — so each grid step loads
+    only its own 0.4 MB weight block; the x block's index map depends
+    only on the batch coordinate, so Mosaic keeps it VMEM-resident
+    across the pair-minor grid steps (one HBM read of x per image)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, t, d = xq.shape
+    hd = d // num_heads
+    assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
+    pairs = num_heads // 2
+
+    # (D, 3D) -> (pairs, D, 384): columns [p*128:(p+1)*128] of each of
+    # the q/k/v thirds, concatenated. Tiny one-off data movement (~3 MB)
+    # relative to the per-block saving.
+    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
+    w3 = w3.reshape(pairs, d, 384)
+    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+
+    grid = (n, pairs)
+    out = pl.pallas_call(
+        functools.partial(_kernel_qkv, scale=scale,
+                          t_valid=valid_len or t),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, t, 1), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p)),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, sx.astype(jnp.float32), w3, sw3.astype(jnp.float32),
+      b3.astype(jnp.float32))
+    return out

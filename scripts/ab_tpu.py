@@ -128,6 +128,12 @@ def _prep_int8_cal(v):
     return calibrate_act_scales(model, vv, x, None)
 
 
+def _cfg_int8_flashq():
+    cfg = _cfg_int8_cal()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashq"))
+
+
 def _cfg_int8_v2():
     cfg = _cfg_int8_cal()
     return dataclasses.replace(
@@ -199,6 +205,20 @@ def _fwd_defer_norm(model, cfg):
     return fwd
 
 
+def _fwd_fused_corr(model, cfg):
+    """Pallas fused_correlate (bf16 interior): reads the 472 MB emb
+    ONCE for norm+matmul (the XLA defer-norm path reads it twice —
+    HLO: multiply_reduce_fusion + fusion.268)."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = fused_correlate(emb, t, logit_scale=cfg.logit_scale,
+                                 compute_dtype=jnp.bfloat16)
+        up = upsample2x(logits, align_corners=True,
+                        compute_dtype=jnp.bfloat16)
+        return jnp.argmax(up, axis=-1)
+    return fwd
+
+
 def _fwd_int8_pallas_head(model, cfg):
     """int8 ViT + XLA bf16 correlate + Pallas streamed upsample+argmax
     (re-measure of the round-2 dead end now that the ViT is 2x faster
@@ -216,10 +236,15 @@ VARIANTS = {
     "int8": _mk(_cfg_int8, prep=_prep_int8),
     "int8_ph": _mk(_cfg_int8, prep=_prep_int8,
                    fwd_fn=_fwd_int8_pallas_head),
+    "int8_cal_ph": _mk(_cfg_int8_cal, prep=_prep_int8_cal,
+                       fwd_fn=_fwd_int8_pallas_head),
+    "int8_cal_pf": _mk(_cfg_int8_cal, prep=_prep_int8_cal,
+                       fwd_fn=_fwd_fused_corr),
     "int8_dn": _mk(_cfg_int8, prep=_prep_int8, fwd_fn=_fwd_defer_norm),
     "int8_vitonly": _mk(_cfg_int8_dec, prep=_prep_int8_dec),
     "int8_cal": _mk(_cfg_int8_cal, prep=_prep_int8_cal),
     "int8_v2": _mk(_cfg_int8_v2, prep=_prep_int8_cal),
+    "int8_flashq": _mk(_cfg_int8_flashq, prep=_prep_int8_cal),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),
     "flash": _mk(_cfg_flash),
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),

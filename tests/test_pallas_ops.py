@@ -229,3 +229,38 @@ def test_flash_attention_flat_v2_matches_v1():
     b = np.asarray(flash_attention_flat(qkv, h, scale, block_q=16,
                                         interpret=True, variant="v2"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_flashq_fused_qkv_matches_flashflat():
+    """attn_impl='flashq' (int8 qkv projection fused into the flash
+    kernel) matches the unfused static-int8 flashflat path on the same
+    quantized tree — identical math, different fusion boundary."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    cfg_f = dc.replace(base, embed_dim=128, num_heads=2,
+                       attn_impl="flashflat", quant_int8="static")
+    cfg_q = dc.replace(cfg_f, attn_impl="flashq")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    m_f = DenseViT(cfg_f)
+    m_q = DenseViT(cfg_q)
+    # same fp32 init -> same quantized tree for both
+    base_cfg = dc.replace(cfg_f, attn_impl="xla", quant_int8=False)
+    v0 = DenseViT(base_cfg).init(jax.random.PRNGKey(0), x)
+    vq = {"params": quantize_tree(v0["params"])}
+    taps_f, grid_f = m_f.apply(vq, x)
+    taps_q, grid_q = m_q.apply(vq, x)
+    assert grid_f == grid_q
+    # single-Attention agreement is bf16-rounding-level (~1e-2); over a
+    # full stack the boundary rounding compounds, so assert direction
+    # (cosine) per tap rather than elementwise closeness
+    for a, b in zip(taps_f, taps_q):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.999, cos

@@ -54,6 +54,10 @@ class ViTConfig:
     # MLP GELU: 'exact' (erf; timm/torch parity, default) or 'tanh'
     # (~12% faster end to end on v5e; validate mIoU before adopting)
     mlp_gelu: str = "exact"
+    # fused int8 MLP Pallas kernel (fc1+GELU+requant+fc2+residual in
+    # VMEM; needs quant_int8='static' and mlp_gelu='tanh' — falls back
+    # to the unfused path otherwise)
+    mlp_fused: bool = False
     # flat flash kernel interior variant: 'v1' (per-head chains) or
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
     # head's softmax VPU work with the other's MXU matmuls)

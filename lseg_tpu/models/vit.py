@@ -202,11 +202,12 @@ class _ProjHeadsParam(nn.Module):
         return y + bias.astype(self.dtype)
 
 
-class _QKVStaticParams(nn.Module):
-    """Declares the StaticQuantDense qkv param triplet (kernel_q,
-    scale, bias) without running the matmul — the fused flash kernel
-    consumes the raw params. Named 'qkv' so the tree is identical to
-    the unfused StaticQuantDense path (same quantize_tree output)."""
+class _StaticDenseParams(nn.Module):
+    """Declares a StaticQuantDense param triplet (kernel_q, scale,
+    bias) without running the matmul — the fused Pallas kernels consume
+    the raw params. Module names match the unfused path ('qkv', 'mlp/
+    fc1', 'mlp/fc2') so the tree is identical to quantize_tree's
+    output."""
 
     features: int
 
@@ -219,6 +220,19 @@ class _QKVStaticParams(nn.Module):
         b = self.param("bias", nn.initializers.zeros,
                        (self.features,), jnp.float32)
         return kq, sw, b
+
+
+class _MLPStaticParams(nn.Module):
+    """fc1/fc2 static-quant param triplets under one 'mlp' scope."""
+
+    dim: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        w1 = _StaticDenseParams(self.hidden, name="fc1")(self.dim)
+        w2 = _StaticDenseParams(self.dim, name="fc2")(self.hidden)
+        return w1, w2
 
 
 class Attention(nn.Module):
@@ -289,7 +303,7 @@ class Attention(nn.Module):
             from lseg_tpu.ops.quant import quantize_rows
 
             xq, sx = quantize_rows(x)
-            kq, sw, b = _QKVStaticParams(3 * d, name="qkv")(d)
+            kq, sw, b = _StaticDenseParams(3 * d, name="qkv")(d)
             out = flash_attention_qkv_fused(
                 xq, sx, kq, sw, b, h, scale, valid_len=self.valid_len)
             return _dense(d, self.dtype, "proj", self.quant)(out)
@@ -384,10 +398,12 @@ class Block(nn.Module):
     block_q: int = 256
     valid_len: Any = None
     kernel_variant: str = "v1"
+    mlp_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
         n, t, d = x.shape
+        hidden = int(self.dim * self.mlp_ratio)
         x2 = x.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x2)
         a = Attention(self.dim, self.num_heads, self.dtype,
@@ -397,9 +413,25 @@ class Block(nn.Module):
                       name="attn")(y.reshape(n, t, d))
         x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
-        x2 = x2 + Mlp(self.dim, int(self.dim * self.mlp_ratio),
-                      self.dtype, quant=self.quant, gelu=self.gelu,
-                      name="mlp")(y)
+        if (self.mlp_fused and self.quant == "static"
+                and self.gelu == "tanh"):
+            # fused int8 MLP kernel: fc1+GELU+requant+fc2+residual in
+            # VMEM; the (N, T, 4D) hidden activation never hits HBM
+            # (ops/pallas_mlp.py). Same params as the unfused path.
+            from lseg_tpu.ops.pallas_mlp import mlp_fused
+            from lseg_tpu.ops.quant import quantize_rows
+
+            yq, sy = quantize_rows(y)
+            w1, w2 = _MLPStaticParams(self.dim, hidden, name="mlp")()
+            x2 = mlp_fused(
+                yq.reshape(n, t, d), sy.reshape(n, t, 1),
+                x2.reshape(n, t, d).astype(jnp.bfloat16),
+                *w1, *w2,
+            ).astype(self.dtype).reshape(n * t, d)
+        else:
+            x2 = x2 + Mlp(self.dim, hidden,
+                          self.dtype, quant=self.quant, gelu=self.gelu,
+                          name="mlp")(y)
         return x2.reshape(n, t, d), None
 
 
@@ -424,6 +456,7 @@ class BlockStack(nn.Module):
     block_q: int = 256
     valid_len: Any = None
     kernel_variant: str = "v1"
+    mlp_fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -448,6 +481,7 @@ class BlockStack(nn.Module):
             block_q=self.block_q,
             valid_len=self.valid_len,
             kernel_variant=self.kernel_variant,
+            mlp_fused=self.mlp_fused,
             name="blocks",
         )(x, None)
         return x
@@ -548,6 +582,7 @@ class DenseViT(nn.Module):
                 block_q=cfg.attn_block_q,
                 valid_len=valid_len,
                 kernel_variant=cfg.attn_variant,
+                mlp_fused=cfg.mlp_fused,
                 name=f"seg{i}",
             )(x)
             taps.append(x[:, :t_tokens] if valid_len else x)

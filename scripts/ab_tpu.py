@@ -134,6 +134,12 @@ def _cfg_int8_flashq():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashq"))
 
 
+def _cfg_int8_mlpf():
+    cfg = _cfg_int8_flashq()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, mlp_fused=True))
+
+
 def _cfg_int8_v2():
     cfg = _cfg_int8_cal()
     return dataclasses.replace(
@@ -245,6 +251,7 @@ VARIANTS = {
     "int8_cal": _mk(_cfg_int8_cal, prep=_prep_int8_cal),
     "int8_v2": _mk(_cfg_int8_v2, prep=_prep_int8_cal),
     "int8_flashq": _mk(_cfg_int8_flashq, prep=_prep_int8_cal),
+    "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),
     "flash": _mk(_cfg_flash),
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),

@@ -264,3 +264,31 @@ def test_flashq_fused_qkv_matches_flashflat():
         b = np.asarray(b, np.float32).ravel()
         cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
         assert cos > 0.999, cos
+
+
+def test_mlp_fused_matches_unfused():
+    """mlp_fused=True (int8 fc1+GELU+requant+fc2+residual in one Pallas
+    kernel) matches the unfused static-int8 path on the same tree."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    cfg_u = dc.replace(base, embed_dim=128, num_heads=2,
+                       attn_impl="flashq", quant_int8="static",
+                       mlp_gelu="tanh")
+    cfg_f = dc.replace(cfg_u, mlp_fused=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    base_cfg = dc.replace(cfg_u, attn_impl="xla", quant_int8=False)
+    v0 = DenseViT(base_cfg).init(jax.random.PRNGKey(0), x)
+    vq = {"params": quantize_tree(v0["params"])}
+    taps_u, _ = DenseViT(cfg_u).apply(vq, x)
+    taps_f, _ = DenseViT(cfg_f).apply(vq, x)
+    for a, b in zip(taps_u, taps_f):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.999, cos

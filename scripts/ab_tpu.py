@@ -211,6 +211,23 @@ def _fwd_defer_norm(model, cfg):
     return fwd
 
 
+def _fwd_barrier_argmax(model, cfg):
+    """Materialize the upsampled logits (optimization_barrier) so the
+    argmax is a clean lane reduce instead of a loop fusion that
+    recomputes the W-interp matmul per element (HLO:
+    bitcast_reduce_fusion, 1.66 ms)."""
+    def fwd(v, x, t):
+        emb = model.apply(v, x, None)
+        logits = correlate(emb, t, logit_scale=cfg.logit_scale,
+                           compute_dtype=jnp.bfloat16,
+                           defer_pixel_norm=True)
+        up = upsample2x(logits, align_corners=True,
+                        compute_dtype=jnp.bfloat16)
+        up = jax.lax.optimization_barrier(up)
+        return jnp.argmax(up, axis=-1)
+    return fwd
+
+
 def _fwd_fused_corr(model, cfg):
     """Pallas fused_correlate (bf16 interior): reads the 472 MB emb
     ONCE for norm+matmul (the XLA defer-norm path reads it twice —
@@ -252,6 +269,8 @@ VARIANTS = {
     "int8_v2": _mk(_cfg_int8_v2, prep=_prep_int8_cal),
     "int8_flashq": _mk(_cfg_int8_flashq, prep=_prep_int8_cal),
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
+    "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
+                        fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),
     "flash": _mk(_cfg_flash),
     "bnfold": _mk(_cfg_bnfold, prep=_prep_bnfold),

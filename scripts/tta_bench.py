@@ -32,12 +32,23 @@ def main() -> None:
         elif arg.startswith("--size="):
             h, w = map(int, arg.split("=")[1].split("x"))
 
-    cfg = fast_serving(get_config("clip_vitl16_384"))
+    int8 = "--int8" in sys.argv
+    cfg = fast_serving(get_config("clip_vitl16_384"),
+                       quant="static_cal" if int8 else False)
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     key = jax.random.PRNGKey(0)
     txt = jax.random.normal(key, (150, cfg.out_c), jnp.float32)
     variables = jax.jit(model.init)(
         key, jnp.zeros((1, 480, 480, 3), jnp.float32), txt)
+    if int8:
+        from lseg_tpu.ops.quant import (calibrate_act_scales,
+                                        quantize_tree)
+        variables = dict(variables)
+        variables["params"] = quantize_tree(
+            variables["params"], decoder=True, act_scale=True)
+        variables = calibrate_act_scales(
+            model, variables,
+            jax.random.normal(key, (8, 480, 480, 3), jnp.float32), None)
     apply_fn = make_logits_fn(model, variables)
 
     evs = {

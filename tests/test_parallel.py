@@ -122,3 +122,50 @@ def test_sharded_tta_eval_matches_single_device():
     ev1 = MultiScaleEvaluator(sharded_fn, 4, proto)
     out = ev1(image, txt)
     np.testing.assert_array_equal(out, ref)
+
+
+def test_fast_serving_int8_shards_over_data_axis():
+    """The full fast-serving stack (flashq fused kernel + int8 decoder)
+    runs under a data-sharded mesh — the multi-chip serving path."""
+    import dataclasses
+
+    import numpy as np
+    from jax.sharding import Mesh, NamedSharding
+    from jax.sharding import PartitionSpec as P
+
+    from lseg_tpu.config import fast_serving
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg = fast_serving(
+        dataclasses.replace(
+            base, vit=dataclasses.replace(
+                base.vit, embed_dim=128, num_heads=2)),
+        quant="static")
+    assert cfg.vit.attn_impl == "flashq"
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    t = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    cfg0 = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="xla",
+                                     quant_int8=False),
+        decoder_quant=False)
+    v0 = LSegNet(cfg0, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, t)
+    vq = dict(v0)
+    vq["params"] = quantize_tree(v0["params"], decoder=True)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+    out = jax.jit(
+        lambda v, xx, tt: jnp.argmax(m.apply(v, xx, tt), -1)
+    )(vq, xs, t)
+    assert out.shape == (8, 64, 64)
+    # unsharded reference agrees (argmax can flip on random-init ties
+    # under different partitioned reduction orders -> near-exact)
+    ref = jnp.argmax(m.apply(vq, x, t), -1)
+    agree = (np.asarray(out) == np.asarray(ref)).mean()
+    assert agree > 0.97, agree  # random-init margins ~0

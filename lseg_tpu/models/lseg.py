@@ -56,6 +56,7 @@ class LSegNet(nn.Module):
     cfg: LSegConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: Any = None
     emulate_fp16: bool = False
 
     @nn.compact
@@ -69,7 +70,8 @@ class LSegNet(nn.Module):
 
         if cfg.is_vit:
             taps, grid = DenseViT(
-                cfg.vit, dtype=self.dtype, remat=self.remat, name="vit"
+                cfg.vit, dtype=self.dtype, remat=self.remat,
+                remat_policy=self.remat_policy, name="vit"
             )(x)
             layers = [
                 Reassemble(

@@ -264,11 +264,29 @@ class Attention(nn.Module):
     kernel_variant: str = "v1"
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray,
+                 resid: jnp.ndarray = None) -> jnp.ndarray:
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
         scale = hd ** -0.5
+        if (self.impl == "flashqp" and hd == 64 and h % 2 == 0
+                and self.quant == "static" and resid is not None):
+            # whole attention half-block in one kernel: int8 qkv ->
+            # flash -> int8 proj partials accumulated in VMEM ->
+            # bias + residual (ops/pallas_attention.py)
+            from lseg_tpu.ops.pallas_attention import (
+                flash_attention_qkvp_fused,
+            )
+            from lseg_tpu.ops.quant import quantize_rows
+
+            xq, sx = quantize_rows(x)
+            kq, sw, b = _StaticDenseParams(3 * d, name="qkv")(d)
+            kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
+            return flash_attention_qkvp_fused(
+                xq, sx, kq, sw, b, kp, sp, bp,
+                resid.astype(jnp.bfloat16), h, scale,
+                valid_len=self.valid_len).astype(self.dtype)
         if self.tp_layout:
             qkv = _QKVHeadsParam(d, h, self.dtype, name="qkv")(x)
             q, k, v = qkv[0], qkv[1], qkv[2]  # (N, H, T, hd)
@@ -291,8 +309,8 @@ class Attention(nn.Module):
                 qkv[0], qkv[1], qkv[2], scale, self.dtype
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
-        if (self.impl == "flashq" and hd == 64 and h % 2 == 0
-                and self.quant == "static"):
+        if (self.impl in ("flashq", "flashqp") and hd == 64
+                and h % 2 == 0 and self.quant == "static"):
             # int8 qkv projection fused INTO the flash kernel: consumes
             # the per-row int8-quantized LN output; the (N, T, 3D) qkv
             # tensor never exists in HBM (ops/pallas_attention.py,
@@ -307,8 +325,8 @@ class Attention(nn.Module):
             out = flash_attention_qkv_fused(
                 xq, sx, kq, sw, b, h, scale, valid_len=self.valid_len)
             return _dense(d, self.dtype, "proj", self.quant)(out)
-        if (self.impl in ("flashflat", "flashq") and hd == 64
-                and h % 2 == 0):
+        if (self.impl in ("flashflat", "flashq", "flashqp")
+                and hd == 64 and h % 2 == 0):
             # custom flat-layout flash kernel: consumes the fused qkv
             # matmul's native (N, T, 3D) output and emits flat (N, T, D)
             # — no layout transitions at either boundary. Measured
@@ -406,12 +424,21 @@ class Block(nn.Module):
         hidden = int(self.dim * self.mlp_ratio)
         x2 = x.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x2)
-        a = Attention(self.dim, self.num_heads, self.dtype,
-                      self.attn_impl, self.attn_scores_dtype,
-                      self.quant, self.tp_layout, self.block_q,
-                      self.valid_len, self.kernel_variant,
-                      name="attn")(y.reshape(n, t, d))
-        x2 = x2 + a.reshape(n * t, d)
+        attn = Attention(self.dim, self.num_heads, self.dtype,
+                         self.attn_impl, self.attn_scores_dtype,
+                         self.quant, self.tp_layout, self.block_q,
+                         self.valid_len, self.kernel_variant,
+                         name="attn")
+        hd_ok = (self.dim // self.num_heads == 64
+                 and self.num_heads % 2 == 0)
+        if (self.attn_impl == "flashqp" and self.quant == "static"
+                and hd_ok):
+            # fused kernel returns resid + proj(attn(...)) directly
+            x2 = attn(y.reshape(n, t, d),
+                      resid=x2.reshape(n, t, d)).reshape(n * t, d)
+        else:
+            a = attn(y.reshape(n, t, d))
+            x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
         if (self.mlp_fused and self.quant == "static"
                 and self.gelu == "tanh"):
@@ -448,6 +475,10 @@ class BlockStack(nn.Module):
     mlp_ratio: float
     dtype: Any = jnp.float32
     remat: bool = False
+    # jax.checkpoint policy for the remat (None = full recompute;
+    # e.g. jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    # keeps matmul outputs and recomputes only elementwise chains)
+    remat_policy: Any = None
     attn_impl: str = "xla"
     attn_scores_dtype: Any = jnp.float32
     quant: Any = False  # False | True|'dynamic' | 'static' (int8 modes)
@@ -460,7 +491,8 @@ class BlockStack(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        block_cls = nn.remat(Block) if self.remat else Block
+        block_cls = (nn.remat(Block, policy=self.remat_policy)
+                     if self.remat else Block)
         scan = nn.scan(
             block_cls,
             variable_axes={"params": 0},
@@ -499,6 +531,7 @@ class DenseViT(nn.Module):
     cfg: ViTConfig
     dtype: Any = jnp.float32
     remat: bool = False
+    remat_policy: Any = None
 
     @nn.compact
     def __call__(
@@ -571,6 +604,7 @@ class DenseViT(nn.Module):
                 mlp_ratio=cfg.mlp_ratio,
                 dtype=self.dtype,
                 remat=self.remat,
+                remat_policy=self.remat_policy,
                 attn_impl=cfg.attn_impl,
                 attn_scores_dtype=(
                     jnp.bfloat16 if cfg.attn_scores_dtype == "bfloat16"

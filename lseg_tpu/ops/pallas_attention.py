@@ -270,3 +270,141 @@ def flash_attention_qkv_fused(
     )(xq, sx.astype(jnp.float32), w3, sw3.astype(jnp.float32),
       b3.astype(jnp.float32))
     return out
+
+
+def _kernel_qkvp(xq_ref, sx_ref, w_ref, sw_ref, b_ref, wp_ref, sp_ref,
+                 bp_ref, res_ref, out_ref, acc_ref,
+                 *, scale, t_valid, pairs):
+    """_kernel_qkv + the OUTPUT projection folded in: each pair's
+    attention result immediately matmuls its row-slice of the proj
+    weight (int8), and the (T, D) partial sums accumulate in a VMEM
+    fp32 scratch across the pair-minor grid steps. bias + residual are
+    added at the first step; the bf16 block output is written at the
+    last. The attention output tensor and its requantized int8 copy
+    never exist in HBM."""
+    p_idx = pl.program_id(1)
+    xq = xq_ref[0]
+    sx = sx_ref[0]
+
+    acc = jax.lax.dot_general(
+        xq, w_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = (acc.astype(jnp.float32) * sx * sw_ref[0]
+           + b_ref[0]).astype(jnp.bfloat16)
+    q2 = qkv[:, 0:128]
+    k2 = qkv[:, 128:256]
+    v2 = qkv[:, 256:384]
+
+    outs = []
+    for h in (0, 1):
+        lo = h * _HD
+        s = jax.lax.dot_general(
+            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    att = jnp.concatenate(outs, axis=1)          # (T, 128) fp32
+
+    # per-row int8 requantize of this pair's slice, then its partial
+    # projection: rows of Wproj [p*128:(p+1)*128] share the global
+    # per-output-column scale, so partials dequantize independently
+    amax = jnp.max(jnp.abs(att), axis=1, keepdims=True)
+    sa = jnp.maximum(amax, 1e-8) / 127.0
+    aq = jnp.clip(jnp.round(att / sa), -127, 127).astype(jnp.int8)
+    part = jax.lax.dot_general(
+        aq, wp_ref[0], dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    ).astype(jnp.float32) * sa * sp_ref[0]       # (T, D) fp32
+
+    @pl.when(p_idx == 0)
+    def _init():
+        acc_ref[:] = (part + bp_ref[0]
+                      + res_ref[0].astype(jnp.float32))
+
+    @pl.when(p_idx > 0)
+    def _accum():
+        acc_ref[:] = acc_ref[:] + part
+
+    @pl.when(p_idx == pairs - 1)
+    def _emit():
+        out_ref[0] = acc_ref[:].astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret",
+                              "valid_len"),
+)
+def flash_attention_qkvp_fused(
+    xq: jnp.ndarray,     # (N, T, D) int8 — per-row quantized LN output
+    sx: jnp.ndarray,     # (N, T, 1) fp32 row scales
+    wq: jnp.ndarray,     # (D, 3D) int8 qkv kernel
+    sw: jnp.ndarray,     # (3D,) fp32
+    bias: jnp.ndarray,   # (3D,) fp32
+    wp: jnp.ndarray,     # (D, D) int8 proj kernel
+    sp: jnp.ndarray,     # (D,) fp32 proj col scales
+    bp: jnp.ndarray,     # (D,) fp32 proj bias
+    resid: jnp.ndarray,  # (N, T, D) bf16 residual stream
+    num_heads: int,
+    scale: float,
+    interpret: bool = None,
+    valid_len: int = None,
+) -> jnp.ndarray:        # (N, T, D) bf16: resid + proj(attn(qkv(x)))
+    """The whole attention half-block (int8 qkv matmul -> flash
+    attention -> int8 output projection -> bias -> residual add) as one
+    kernel. See `_kernel_qkvp`."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, t, d = xq.shape
+    hd = d // num_heads
+    assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
+    pairs = num_heads // 2
+
+    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
+    w3 = w3.reshape(pairs, d, 384)
+    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+    wp3 = wp.reshape(pairs, 128, d)
+
+    grid = (n, pairs)
+    out = pl.pallas_call(
+        functools.partial(_kernel_qkvp, scale=scale,
+                          t_valid=valid_len or t, pairs=pairs),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, t, 1), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 128, d), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda ni, p: (0, 0, 0)),
+            pl.BlockSpec((1, 1, d), lambda ni, p: (0, 0, 0)),
+            pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((n, t, d), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((t, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(xq, sx.astype(jnp.float32), w3, sw3.astype(jnp.float32),
+      b3.astype(jnp.float32), wp3,
+      sp.astype(jnp.float32).reshape(1, 1, d),
+      bp.astype(jnp.float32).reshape(1, 1, d), resid)
+    return out

@@ -134,6 +134,12 @@ def _cfg_int8_flashq():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashq"))
 
 
+def _cfg_int8_flashqp():
+    cfg = _cfg_int8_cal()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashqp"))
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -269,6 +275,7 @@ VARIANTS = {
     "int8_v2": _mk(_cfg_int8_v2, prep=_prep_int8_cal),
     "int8_flashq": _mk(_cfg_int8_flashq, prep=_prep_int8_cal),
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
+    "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
                         fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),

@@ -292,3 +292,30 @@ def test_mlp_fused_matches_unfused():
         b = np.asarray(b, np.float32).ravel()
         cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
         assert cos > 0.999, cos
+
+
+def test_flashqp_fused_matches_flashq():
+    """attn_impl='flashqp' (qkv + flash + int8 proj + residual in one
+    kernel) tracks the flashq path on the same tree."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    cfg_q = dc.replace(base, embed_dim=128, num_heads=2,
+                       attn_impl="flashq", quant_int8="static")
+    cfg_p = dc.replace(cfg_q, attn_impl="flashqp")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    base_cfg = dc.replace(cfg_q, attn_impl="xla", quant_int8=False)
+    v0 = DenseViT(base_cfg).init(jax.random.PRNGKey(0), x)
+    vq = {"params": quantize_tree(v0["params"])}
+    taps_q, _ = DenseViT(cfg_q).apply(vq, x)
+    taps_p, _ = DenseViT(cfg_p).apply(vq, x)
+    for a, b in zip(taps_q, taps_p):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.999, cos

@@ -32,6 +32,12 @@ def parse_args():
     p.add_argument("--backbone", default="clip_vitl16_384")
     p.add_argument("--out", default="demo_out.png")
     p.add_argument("--tta", action="store_true")
+    p.add_argument("--fast", action="store_true",
+                   help="fast serving config (flash kernels + tanh "
+                        "GELU + bf16 head; lseg_tpu.config.fast_serving)")
+    p.add_argument("--int8", action="store_true",
+                   help="with --fast: static int8 projections + "
+                        "decoder convs")
     p.add_argument("--alpha", type=float, default=0.5)
     return p.parse_args()
 
@@ -40,7 +46,7 @@ def main():
     args = parse_args()
     import jax.numpy as jnp
 
-    from lseg_tpu.config import get_config
+    from lseg_tpu.config import fast_serving, get_config
     from lseg_tpu.data.transforms import normalize
     from lseg_tpu.engine.serve import make_logits_fn, make_predictor
     from lseg_tpu.engine.tta import MultiScaleEvaluator
@@ -52,6 +58,10 @@ def main():
 
     labels = [s.strip() for s in args.labels.split(",") if s.strip()]
     cfg = get_config(args.backbone)
+    if args.fast:
+        cfg = fast_serving(cfg, quant="static" if args.int8 else False)
+    elif args.int8:
+        raise SystemExit("--int8 requires --fast")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
     if args.weights == "random":
         import jax
@@ -70,6 +80,12 @@ def main():
         tok = ClipBPETokenizer.from_file(args.bpe_vocab)
         cache = TextFeatureCache(cfg.text, text_vars, tok)
         txt = cache(tuple(labels))
+    if args.int8:
+        from lseg_tpu.ops.quant import quantize_tree
+
+        variables = dict(variables)
+        variables["params"] = quantize_tree(variables["params"],
+                                            decoder=True)
 
     pil = Image.open(args.image).convert("RGB")
     if args.tta:

@@ -271,7 +271,8 @@ class Attention(nn.Module):
         hd = d // h
         scale = hd ** -0.5
         if (self.impl == "flashqp" and hd == 64 and h % 2 == 0
-                and self.quant == "static" and resid is not None):
+                and self.quant == "static" and resid is not None
+                and not self.tp_layout):
             # whole attention half-block in one kernel: int8 qkv ->
             # flash -> int8 proj partials accumulated in VMEM ->
             # bias + residual (ops/pallas_attention.py)
@@ -310,7 +311,8 @@ class Attention(nn.Module):
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
         if (self.impl in ("flashq", "flashqp") and hd == 64
-                and h % 2 == 0 and self.quant == "static"):
+                and h % 2 == 0 and self.quant == "static"
+                and not self.tp_layout):
             # int8 qkv projection fused INTO the flash kernel: consumes
             # the per-row int8-quantized LN output; the (N, T, 3D) qkv
             # tensor never exists in HBM (ops/pallas_attention.py,

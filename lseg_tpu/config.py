@@ -134,6 +134,11 @@ class LSegConfig:
     # bf16 MXU roofline (scripts/conv_ab.py) so the int8 MXU rate is
     # the only lever left there.
     decoder_quant: Any = False
+    # fused head1+correlation Pallas kernel (int8 1x1 projection +
+    # deferred-norm cosine logits in one VMEM pass; the (N,H/2,W/2,E)
+    # embedding map never hits HBM). Needs decoder_quant static* and
+    # head_dtype bfloat16; falls back otherwise.
+    head_fused: bool = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32
@@ -264,6 +269,9 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
     return dataclasses.replace(
         cfg, vit=vit, head_dtype="bfloat16",
         decoder_quant=quant if quant else cfg.decoder_quant,
+        # fused int8 head1+correlation kernel (215.0 vs 208.5 img/s —
+        # the pixel-embedding map never hits HBM); needs the int8 tree
+        head_fused=bool(quant),
     )
 
 

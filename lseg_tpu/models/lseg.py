@@ -40,6 +40,28 @@ from lseg_tpu.ops.correlation import correlate
 from lseg_tpu.ops.resize import upsample2x
 
 
+class _Head1Params(nn.Module):
+    """Declares head1's StaticQuantConv param set (kernel_q, scale,
+    bias[, act_scale]) without running the conv — the fused head kernel
+    consumes the raw params. Named 'head1' so the tree is identical to
+    the unfused path."""
+
+    features: int
+    static_act: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (1, 1, cin, self.features), jnp.int8)
+        sw = self.param("scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        act = (self.param("act_scale", nn.initializers.ones, (),
+                          jnp.float32) if self.static_act else None)
+        return kq, sw, b, act
+
+
 class LSegNet(nn.Module):
     """Language-driven segmentation network (image tower + decoder + head).
 
@@ -106,6 +128,41 @@ class LSegNet(nn.Module):
         path1 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, name="refinenet1"
         )(path2, rn[0], train)
+
+        use_head_fused = (
+            cfg.head_fused and q in ("static", "static_cal")
+            and cfg.head_dtype == "bfloat16"
+            and cfg.arch_option not in (1, 2)
+            and not self.emulate_fp16
+            and text_features is not None
+        )
+        if use_head_fused:
+            # int8 head1 projection + deferred-norm correlation in one
+            # Pallas kernel — the pixel-embedding map never exists in
+            # HBM (ops/pallas_correlation.head1_correlate_fused). Param
+            # tree identical to the unfused head1 StaticQuantConv.
+            from lseg_tpu.ops.pallas_correlation import (
+                head1_correlate_fused,
+            )
+            from lseg_tpu.ops.quant import quantize_tensor
+
+            kq, s1, b1, act_sc = _Head1Params(
+                cfg.out_c, static_act=q == "static_cal", name="head1"
+            )(path1.shape[-1])
+            if act_sc is not None:
+                sxs = act_sc / 127.0
+                xq8 = jnp.clip(
+                    jnp.round(path1.astype(jnp.float32) / sxs),
+                    -127, 127).astype(jnp.int8)
+            else:
+                xq8, sxs = quantize_tensor(path1)
+            out = head1_correlate_fused(
+                xq8, sxs, kq, s1, b1, text_features,
+                logit_scale=cfg.logit_scale,
+            )
+            return upsample2x(out, align_corners=True,
+                              compute_dtype=jnp.bfloat16
+                              ).astype(jnp.float32)
 
         from lseg_tpu.models.blocks import _conv
         image_features = _conv(

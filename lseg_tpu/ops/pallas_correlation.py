@@ -104,3 +104,90 @@ def fused_correlate(
         interpret=interpret,
     )(x, t)
     return out[:m, :k].reshape(n, h, w, k)
+
+
+
+def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps):
+    """One row tile: int8 head1 1x1 conv (as a matmul) -> pixel
+    embedding tile in VMEM -> deferred-norm correlation against the
+    resident text matrix. The (M, E) embedding map never exists in HBM
+    (it costs a 472 MB write + 2x 472 MB reads per batch-8 480-crop on
+    the XLA path: head1 out, the sum-of-squares pass, and the
+    correlation's operand read)."""
+    xq = xq_ref[:]                        # (TM, C) int8
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],                     # (C, E) int8
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    e = acc.astype(jnp.float32) * sc_ref[:] + b_ref[:]   # (TM, E) fp32
+    inv = jax.lax.rsqrt(
+        jnp.maximum(jnp.sum(e * e, axis=1, keepdims=True), eps))
+    lo = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), t_ref[:],  # (Kp, E) bf16
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    o_ref[:] = (lo * inv).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+)
+def head1_correlate_fused(
+    xq: jnp.ndarray,      # (N, H, W, C) int8 — quantized path1
+    sx: jnp.ndarray,      # fp32 scalar activation scale (amax/127)
+    w1q: jnp.ndarray,     # (1, 1, C, E) int8 head1 kernel
+    s1: jnp.ndarray,      # (E,) fp32 per-channel weight scales
+    b1: jnp.ndarray,      # (E,) fp32 head1 bias
+    text_features: jnp.ndarray,  # (K, E) fp32 raw text features
+    logit_scale: float = 1.0 / 0.07,
+    tile_m: int = 512,
+    interpret: bool = None,
+) -> jnp.ndarray:         # (N, H, W, K) bf16 deferred-norm logits
+    """Fused int8 head1 projection + temperature-scaled deferred-norm
+    correlation (reference: modules/models/lseg_net.py:185-196 with the
+    exact (e/|e|)*t == (e*t)/|e| reassociation of the fast head)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c = xq.shape
+    e_dim = w1q.shape[-1]
+    k = text_features.shape[0]
+    m = n * h * w
+    mp = _round_up(m, tile_m)
+    kp = _round_up(k, 128)
+
+    x2 = xq.reshape(m, c)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    t = text_features.astype(jnp.float32)
+    tn = t * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(t * t, axis=-1, keepdims=True), 1e-24))
+    tn = (logit_scale * tn).astype(jnp.bfloat16)
+    if kp != k:
+        tn = jnp.pad(tn, ((0, kp - k), (0, 0)))
+
+    sc = (sx.astype(jnp.float32).reshape(1, 1)
+          * s1.astype(jnp.float32).reshape(1, e_dim))
+    out = pl.pallas_call(
+        functools.partial(_head1_kernel, eps=1e-24),
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, kp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.bfloat16),
+        interpret=interpret,
+    )(x2, w1q.reshape(c, e_dim), sc,
+      b1.astype(jnp.float32).reshape(1, e_dim), tn)
+    return out[:m, :k].reshape(n, h, w, k)

@@ -140,6 +140,11 @@ def _cfg_int8_flashqp():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashqp"))
 
 
+def _cfg_int8_headf():
+    cfg = _cfg_int8_flashq()
+    return dataclasses.replace(cfg, head_fused=True)
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -276,6 +281,7 @@ VARIANTS = {
     "int8_flashq": _mk(_cfg_int8_flashq, prep=_prep_int8_cal),
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
+    "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
     "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
                         fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),

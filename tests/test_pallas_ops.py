@@ -319,3 +319,37 @@ def test_flashqp_fused_matches_flashq():
         b = np.asarray(b, np.float32).ravel()
         cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
         assert cos > 0.999, cos
+
+
+def test_head_fused_matches_unfused():
+    """cfg.head_fused (int8 head1 + deferred-norm correlate in one
+    kernel) tracks the unfused int8 head on the same tree."""
+    import dataclasses
+
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg_u = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, quant_int8="static"),
+        decoder_quant="static", head_dtype="bfloat16",
+    )
+    cfg_f = dataclasses.replace(cfg_u, head_fused=True)
+    m_u = LSegNet(cfg_u, dtype=jnp.bfloat16)
+    m_f = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, base.out_c).astype(np.float32))
+    v = LSegNet(base, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"], decoder=True)
+    a = np.asarray(m_u.apply(vq, x, txt), np.float32)
+    b = np.asarray(m_f.apply(vq, x, txt), np.float32)
+    assert a.shape == b.shape
+    agree = (a.argmax(-1) == b.argmax(-1)).mean()
+    assert agree > 0.97, agree
+    cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+    assert cos > 0.999, cos

@@ -87,6 +87,7 @@ class LSegNet(nn.Module):
         x: jnp.ndarray,  # (N, H, W, 3), normalized
         text_features: Optional[jnp.ndarray] = None,  # (K, out_c)
         train: bool = False,
+        return_halfres: bool = False,  # skip the x2 output upsample
     ) -> jnp.ndarray:
         cfg = self.cfg
 
@@ -160,6 +161,8 @@ class LSegNet(nn.Module):
                 xq8, sxs, kq, s1, b1, text_features,
                 logit_scale=cfg.logit_scale,
             )
+            if return_halfres:
+                return out
             return upsample2x(out, align_corners=True,
                               compute_dtype=jnp.bfloat16
                               ).astype(jnp.float32)
@@ -206,6 +209,8 @@ class LSegNet(nn.Module):
             out = head_block(out, act=False)
             out = out.astype(hd)
 
+        if return_halfres:
+            return out
         # Output head: ×2 bilinear to full crop resolution
         # (reference: lseg_net.py:219-221,203).
         return upsample2x(out, align_corners=True,

@@ -145,6 +145,18 @@ def _cfg_int8_headf():
     return dataclasses.replace(cfg, head_fused=True)
 
 
+def _fwd_headf_tailv2(model, cfg):
+    """head-fused model emits half-res logits; the transpose-free
+    Pallas upsample+argmax v2 kernel finishes the tail (full-res
+    logits never in HBM)."""
+    from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax_v2
+
+    def fwd(v, x, t):
+        lo = model.apply(v, x, t, return_halfres=True)
+        return upsample2x_argmax_v2(lo)
+    return fwd
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -282,6 +294,8 @@ VARIANTS = {
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
+    "int8_tailv2": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
+                       fwd_fn=_fwd_headf_tailv2),
     "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
                         fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),

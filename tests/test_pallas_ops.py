@@ -353,3 +353,20 @@ def test_head_fused_matches_unfused():
     assert agree > 0.97, agree
     cos = (a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
     assert cos > 0.999, cos
+
+
+def test_upsample2x_argmax_v2_matches_xla():
+    from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax_v2
+
+    rng = np.random.RandomState(5)
+    logits = jnp.asarray(rng.randn(2, 12, 16, 7).astype(np.float32))
+    ref = jnp.argmax(upsample2x(logits, align_corners=True), axis=-1)
+    got = upsample2x_argmax_v2(logits, tile_o=8, interpret=True)
+    assert got.shape == (2, 24, 32)
+    agree = np.mean(np.asarray(got) == np.asarray(ref))
+    assert agree >= 0.999, agree
+    # bf16 input path (the serving head's dtype)
+    got_b = upsample2x_argmax_v2(logits.astype(jnp.bfloat16), tile_o=8,
+                                 interpret=True)
+    agree_b = np.mean(np.asarray(got_b) == np.asarray(ref))
+    assert agree_b >= 0.99, agree_b

@@ -521,6 +521,36 @@ class BlockStack(nn.Module):
         return x
 
 
+class _PatchEmbed(nn.Module):
+    """Stride-p patchify as an MXU matmul; identical params/math to
+    nn.Conv(d, (p, p), strides=(p, p), padding='VALID')."""
+
+    dim: int
+    patch: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n, h, w, c = x.shape
+        p = self.patch
+        gh, gw = h // p, w // p
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (p, p, c, self.dim), jnp.float32,
+        )
+        bias = self.param(
+            "bias", nn.initializers.zeros, (self.dim,), jnp.float32
+        )
+        xp = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        xp = xp.reshape(n, gh * gw, p * p * c)
+        y = jnp.dot(
+            xp.astype(self.dtype),
+            kernel.reshape(p * p * c, self.dim).astype(self.dtype),
+            preferred_element_type=jnp.float32,
+        )
+        return (y + bias.astype(jnp.float32)).astype(self.dtype)
+
+
 class DenseViT(nn.Module):
     """ViT encoder returning the token sequences at the 4 hook depths.
 
@@ -546,13 +576,14 @@ class DenseViT(nn.Module):
         gh, gw = h // p, w // p
         d = cfg.embed_dim
 
-        # Patch embedding: p×p stride-p conv == per-patch linear; XLA lowers
-        # this to one big MXU matmul.
-        x = nn.Conv(
-            d, (p, p), strides=(p, p), padding="VALID",
-            dtype=self.dtype, name="patch_embed",
-        )(x)
-        x = x.reshape(n, gh * gw, d)
+        # Patch embedding: p×p stride-p conv == per-patch linear. The
+        # conv formulation measured 0.93 ms at the flagship shape (XLA's
+        # conv emitter handles the 3-channel input at ~3% of the MXU
+        # rate); explicit patchify + one (N·gh·gw, p·p·3) @ (p·p·3, D)
+        # matmul is the identical computation at matmul speed. Param
+        # tree unchanged (kernel (p, p, 3, D) + bias under
+        # 'patch_embed', HWIO order matches the flattening).
+        x = _PatchEmbed(d, p, self.dtype, name="patch_embed")(x)
 
         cls = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, d), jnp.float32

@@ -107,7 +107,8 @@ def fused_correlate(
 
 
 
-def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps):
+def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps,
+                  k_out):
     """One row tile: int8 head1 1x1 conv (as a matmul) -> pixel
     embedding tile in VMEM -> deferred-norm correlation against the
     resident text matrix. The (M, E) embedding map never exists in HBM
@@ -128,7 +129,10 @@ def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps):
         dimension_numbers=(((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = (lo * inv).astype(o_ref.dtype)
+    # write the UNPADDED K directly: the (mp, K) output bitcasts to
+    # (N, H, W, K) for free, where slicing a 128-padded output costs a
+    # 0.65 ms relayout copy at the flagship shape (HLO: copy.80)
+    o_ref[:] = (lo * inv).astype(o_ref.dtype)[:, :k_out]
 
 
 @functools.partial(
@@ -170,7 +174,7 @@ def head1_correlate_fused(
     sc = (sx.astype(jnp.float32).reshape(1, 1)
           * s1.astype(jnp.float32).reshape(1, e_dim))
     out = pl.pallas_call(
-        functools.partial(_head1_kernel, eps=1e-24),
+        functools.partial(_head1_kernel, eps=1e-24, k_out=k),
         grid=(mp // tile_m,),
         in_specs=[
             pl.BlockSpec((tile_m, c), lambda i: (i, 0),
@@ -184,10 +188,10 @@ def head1_correlate_fused(
             pl.BlockSpec((kp, e_dim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((tile_m, kp), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_m, k), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((mp, kp), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((mp, k), jnp.bfloat16),
         interpret=interpret,
     )(x2, w1q.reshape(c, e_dim), sc,
       b1.astype(jnp.float32).reshape(1, e_dim), tn)
-    return out[:m, :k].reshape(n, h, w, k)
+    return out[:m].reshape(n, h, w, k)

@@ -9,30 +9,80 @@ measured path is exactly the per-image hot loop.
 Timing methodology: the forward is iterated ON DEVICE inside one jit'd
 `lax.fori_loop` (each iteration's input is perturbed by the loop index
 so XLA cannot hoist or CSE the body), and only a scalar checksum leaves
-the device. Per-iteration time is the slope between an N=1 and an N=1+K
-run, which cancels dispatch/transfer constants — robust even on relayed
-TPU backends where `block_until_ready` returns before execution
-completes and host↔device transfers are slow.
+the device. Per-iteration time is the slope between an n=1 and an
+n=1+K run, which cancels dispatch/transfer constants — robust even on
+relayed TPU backends where `block_until_ready` returns before execution
+completes and host↔device transfers are slow. `n` is a TRACED loop
+bound so both points share one compiled program.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline = value / 300 (north-star; the reference publishes no
-throughput numbers — BASELINE.md).
+Robustness under a driver harness with an unknown wall-clock budget
+(round-2 lesson: `BENCH_r02.json` rc=124, no number landed):
+- a provisional JSON line is printed (and flushed) as soon as the first
+  timed pair exists — before activation-scale calibration, which does
+  not change the compiled program or its timing, only param values;
+- refined lines (more pairs, calibrated scales) REPLACE it; the last
+  line printed is the best estimate;
+- SIGTERM/SIGALRM/errors re-emit the best-so-far line and exit 0;
+- `BENCH_BUDGET_S` env (or --budget=N) arms a self-deadline.
+
+Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST
+line is the result. vs_baseline = value / 300 (north-star; the
+reference publishes no throughput numbers — BASELINE.md).
 """
 
 from __future__ import annotations
 
-import functools
 import json
+import os
+import signal
 import sys
 import time
 
-import jax
-import jax.numpy as jnp
-
 NORTH_STAR = 300.0  # img/s/chip on v5e (BASELINE.json)
+
+_best_line: str | None = None
+
+
+def _emit(img_per_sec: float) -> None:
+    """Print a result line now; later emissions supersede earlier ones."""
+    global _best_line
+    _best_line = json.dumps({
+        "metric": "img_per_sec_chip_480x480_ade20k150_zeroshot",
+        "value": round(img_per_sec, 2),
+        "unit": "img/s",
+        "vs_baseline": round(img_per_sec / NORTH_STAR, 3),
+    })
+    print(_best_line, flush=True)
+
+
+def _bail(signum, frame):  # re-emit best and stop cleanly
+    if _best_line is not None:
+        print(_best_line, flush=True)
+        sys.exit(0)
+    sys.exit(1)
 
 
 def main() -> None:
+    batch = 8
+    iters = 12
+    budget = float(os.environ.get("BENCH_BUDGET_S", "0"))
+    for arg in sys.argv[1:]:
+        if arg.startswith("--batch="):
+            batch = int(arg.split("=")[1])
+        if arg.startswith("--iters="):
+            iters = int(arg.split("=")[1])
+        if arg.startswith("--budget="):
+            budget = float(arg.split("=")[1])
+
+    signal.signal(signal.SIGTERM, _bail)
+    signal.signal(signal.SIGINT, _bail)
+    if budget > 0:
+        signal.signal(signal.SIGALRM, _bail)
+        signal.alarm(max(int(budget) - 5, 1))
+
+    import jax
+    import jax.numpy as jnp
+
     jax.config.update("jax_compilation_cache_dir",
                       "/tmp/lseg_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -42,21 +92,13 @@ def main() -> None:
     from lseg_tpu.ops.quant import calibrate_act_scales, quantize_tree
 
     # The documented fast-serving configuration (flat-layout flash
-    # attention + tanh GELU + bf16 deferred-norm head + static int8
-    # projections + int8 decoder convs with calibrated activation
-    # scales) — model-level drift bounds and argmax-agreement tests in
-    # tests/test_quant.py; evaluate.py defaults to the parity config
-    # and opts in via --fast [--int8].
+    # attention + fused qkv kernel + tanh GELU + bf16 deferred-norm
+    # fused head + static int8 projections/decoder convs with
+    # calibrated activation scales) — drift bounds and trained-model
+    # mIoU-delta tests in tests/test_quant.py; evaluate.py defaults to
+    # the parity config and opts in via --fast [--int8].
     cfg = fast_serving(get_config("clip_vitl16_384"), quant="static_cal")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
-
-    batch = 8
-    iters = 12
-    for arg in sys.argv[1:]:
-        if arg.startswith("--batch="):
-            batch = int(arg.split("=")[1])
-        if arg.startswith("--iters="):
-            iters = int(arg.split("=")[1])
 
     key = jax.random.PRNGKey(0)
     x1 = jnp.zeros((1, 480, 480, 3), jnp.float32)
@@ -64,44 +106,50 @@ def main() -> None:
     variables = jax.jit(model.init)(key, x1, txt)
     # load-time weight quantization: int8 kernels + per-channel scales
     # live in the serving tree (ops/quant.quantize_tree; decoder=True
-    # also pre-quantizes the decoder/head1 conv kernels), followed by
-    # one activation-scale calibration forward (static PTQ)
+    # also pre-quantizes the decoder/head1 conv kernels). Activation
+    # scales start at init values; calibration below refines them and
+    # does NOT change the compiled program, so throughput timing is
+    # valid either way.
     variables = dict(variables)
     variables["params"] = quantize_tree(variables["params"], decoder=True,
                                         act_scale=True)
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
-    variables = calibrate_act_scales(model, variables, x, None)
 
-    @functools.partial(jax.jit, static_argnames=("n",))
+    @jax.jit
     def run(v, x, t, n):
         def body(i, acc):
             xi = x + (i.astype(jnp.float32) * 1e-6)
             pred = jnp.argmax(model.apply(v, xi, t), axis=-1)
             return acc + jnp.sum(pred, dtype=jnp.int32)
 
-        return jax.lax.fori_loop(0, n, body, jnp.int32(0))
+        return jax.lax.fori_loop(0, n, body, jnp.int32(0),
+                                 unroll=False)
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()
-        val = int(run(variables, x, txt, n))  # scalar fetch forces exec
+        val = int(run(variables, x, txt, jnp.int32(n)))  # scalar fetch
         dt = time.perf_counter() - t0
         assert val != -1
         return dt
 
-    # compile both program variants, then measure the slope
-    timed(1)
-    timed(1 + iters)
-    t1 = min(timed(1) for _ in range(2))
-    tn = min(timed(1 + iters) for _ in range(2))
-    per_iter = (tn - t1) / iters
-    img_per_sec = batch / per_iter
+    def measure(pairs: int) -> float:
+        t1 = min(timed(1) for _ in range(pairs))
+        tn = min(timed(1 + iters) for _ in range(pairs))
+        return batch * iters / (tn - t1)
 
-    print(json.dumps({
-        "metric": "img_per_sec_chip_480x480_ade20k150_zeroshot",
-        "value": round(img_per_sec, 2),
-        "unit": "img/s",
-        "vs_baseline": round(img_per_sec / NORTH_STAR, 3),
-    }))
+    try:
+        timed(1)  # compile (one program serves every n)
+        _emit(measure(1))  # provisional: first slope, uncalibrated
+
+        # static PTQ activation-scale calibration (one jitted forward;
+        # same program structure → throughput unchanged, numerics real)
+        variables = calibrate_act_scales(model, variables, x, None)
+        _emit(measure(2))
+    except Exception:
+        if _best_line is not None:
+            print(_best_line, flush=True)
+            return
+        raise
 
 
 if __name__ == "__main__":

@@ -322,9 +322,16 @@ def calibrate_act_scales(model, variables, *apply_args, **apply_kw):
     """
     from collections.abc import Mapping
 
-    _, state = model.apply(variables, *apply_args,
-                           mutable=["quant_cal"], **apply_kw)
-    cal = state["quant_cal"]
+    # One jitted program: the eager path dispatches every primitive
+    # individually, which costs minutes over relayed TPU backends.
+    def _cal_forward(v, *a):
+        _, st = model.apply(v, *a, mutable=["quant_cal"], **apply_kw)
+        return st
+
+    state = jax.jit(_cal_forward)(variables, *apply_args)
+    # amax leaves are tiny scalars: pull to host so the tree rebuild
+    # below costs zero device round-trips.
+    cal = jax.device_get(state["quant_cal"])
 
     def rec(p, c):
         if not isinstance(p, Mapping):

@@ -215,6 +215,23 @@ BACKBONES = {
 }
 
 
+def flat_flash_eligible(dim: int, num_heads: int,
+                        tp_layout: bool) -> bool:
+    """Eligibility for the flat-layout Pallas flash kernels
+    (attn_impl in flashflat/flashq/flashqp): head_dim must be 64 (each
+    128-lane column block of the flat qkv tensor = exactly two heads),
+    the head count even, and the params in the flat (non-TP) layout.
+
+    This single predicate gates BOTH the kernel dispatch in
+    models/vit.py (Attention/Block) and the sublane token padding in
+    DenseViT, so an ineligible config (e.g. tp_layout=True) can never
+    pad the sequence and then run unmasked XLA attention over the pad
+    rows."""
+    return (num_heads > 0 and dim % num_heads == 0
+            and dim // num_heads == 64 and num_heads % 2 == 0
+            and not tp_layout)
+
+
 def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
     """The documented fast-serving configuration (bench.py's config).
 
@@ -249,10 +266,15 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
 
     evaluate.py defaults to parity and opts into this via `--fast`.
     """
+    if quant not in (False, None, "static", "static_cal"):
+        raise ValueError(
+            "fast_serving quant must be False, 'static' or 'static_cal'"
+            f", got {quant!r} (a bare truthy value would silently skip "
+            "the decoder int8 + fused-head paths)")
     vit = cfg.vit
     if vit is not None:
-        head_dim = vit.embed_dim // vit.num_heads
-        use_flashflat = head_dim == 64 and vit.num_heads % 2 == 0
+        use_flashflat = flat_flash_eligible(
+            vit.embed_dim, vit.num_heads, vit.tp_layout)
         # flashq = int8 qkv projection fused INTO the flash kernel
         # (210.3 vs 206.1 img/s, needs the static-int8 tree); flashflat
         # for unquantized fast serving; XLA fallback otherwise.

@@ -26,7 +26,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from lseg_tpu.config import ViTConfig
+from lseg_tpu.config import ViTConfig, flat_flash_eligible
 from lseg_tpu.ops.quant import QuantDense, StaticQuantDense
 from lseg_tpu.ops.resize import resize_bilinear
 
@@ -188,8 +188,14 @@ class _ProjHeadsParam(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # (N, H, T, hd)
         d, h = self.dim, self.num_heads
         hd = d // h
+        # fan_in must be the full H*hd = D (matching the flat nn.Dense
+        # init); lecun_normal(batch_axis=(0,)) would use fan_in=hd and
+        # give H× too much variance on from-scratch TP init.
         kernel = self.param(
-            "kernel", nn.initializers.lecun_normal(batch_axis=(0,)),
+            "kernel",
+            nn.initializers.variance_scaling(
+                1.0, "fan_in", "truncated_normal",
+                in_axis=(0, 1), out_axis=2),
             (h, hd, d), jnp.float32,
         )
         bias = self.param(
@@ -270,9 +276,9 @@ class Attention(nn.Module):
         h = self.num_heads
         hd = d // h
         scale = hd ** -0.5
-        if (self.impl == "flashqp" and hd == 64 and h % 2 == 0
-                and self.quant == "static" and resid is not None
-                and not self.tp_layout):
+        flat_ok = flat_flash_eligible(d, h, self.tp_layout)
+        if (self.impl == "flashqp" and flat_ok
+                and self.quant == "static" and resid is not None):
             # whole attention half-block in one kernel: int8 qkv ->
             # flash -> int8 proj partials accumulated in VMEM ->
             # bias + residual (ops/pallas_attention.py)
@@ -310,9 +316,8 @@ class Attention(nn.Module):
                 qkv[0], qkv[1], qkv[2], scale, self.dtype
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
-        if (self.impl in ("flashq", "flashqp") and hd == 64
-                and h % 2 == 0 and self.quant == "static"
-                and not self.tp_layout):
+        if (self.impl in ("flashq", "flashqp") and flat_ok
+                and self.quant == "static"):
             # int8 qkv projection fused INTO the flash kernel: consumes
             # the per-row int8-quantized LN output; the (N, T, 3D) qkv
             # tensor never exists in HBM (ops/pallas_attention.py,
@@ -328,7 +333,7 @@ class Attention(nn.Module):
                 xq, sx, kq, sw, b, h, scale, valid_len=self.valid_len)
             return _dense(d, self.dtype, "proj", self.quant)(out)
         if (self.impl in ("flashflat", "flashq", "flashqp")
-                and hd == 64 and h % 2 == 0):
+                and flat_ok):
             # custom flat-layout flash kernel: consumes the fused qkv
             # matmul's native (N, T, 3D) output and emits flat (N, T, D)
             # — no layout transitions at either boundary. Measured
@@ -431,10 +436,10 @@ class Block(nn.Module):
                          self.quant, self.tp_layout, self.block_q,
                          self.valid_len, self.kernel_variant,
                          name="attn")
-        hd_ok = (self.dim // self.num_heads == 64
-                 and self.num_heads % 2 == 0)
+        flat_ok = flat_flash_eligible(
+            self.dim, self.num_heads, self.tp_layout)
         if (self.attn_impl == "flashqp" and self.quant == "static"
-                and hd_ok):
+                and flat_ok):
             # fused kernel returns resid + proj(attn(...)) directly
             x2 = attn(y.reshape(n, t, d),
                       resid=x2.reshape(n, t, d)).reshape(n * t, d)
@@ -619,6 +624,7 @@ class DenseViT(nn.Module):
         t_tokens = 1 + gh * gw
         valid_len = None
         if (cfg.attn_impl in ("flashflat", "flashq")
+                and flat_flash_eligible(d, cfg.num_heads, cfg.tp_layout)
                 and t_tokens % 8 != 0):
             tp = -(-t_tokens // 8) * 8
             x = jnp.pad(x, ((0, 0), (0, tp - t_tokens), (0, 0)))

@@ -94,3 +94,57 @@ def test_head_aligned_tp_fewer_collectives_than_flat():
     n_flat = _collective_count(m, v, x, txt, mesh)
     n_tp = _collective_count(mtp, vtp, x, txt, mesh)
     assert n_tp < n_flat, (n_tp, n_flat)
+
+
+def _hd64_vit_cfg(**kw):
+    """Smallest config that is flat-flash-eligible when tp_layout is
+    off (head_dim 64, even heads, T=17 not a sublane multiple)."""
+    import dataclasses as dc
+
+    from lseg_tpu.config import ViTConfig
+
+    base = ViTConfig(
+        patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        hooks=(0, 1), post_channels=(16, 32), resample=(4.0, 2.0),
+        pretrain_grid=4,
+    )
+    return dc.replace(base, **kw) if kw else base
+
+
+def test_flash_impl_with_tp_layout_takes_unpadded_tp_path():
+    """Regression (round-2 advisor, medium): flashflat/flashq with
+    tp_layout=True must fall back to the XLA TP attention path WITHOUT
+    sublane token padding — the padded fallback ran unmasked attention
+    whose pad keys (LN + qkv bias) mixed into real tokens."""
+    from lseg_tpu.models.vit import DenseViT
+
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    ref_m = DenseViT(_hd64_vit_cfg(attn_impl="xla", tp_layout=True))
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref_taps, _ = ref_m.apply(v, x)
+    for impl in ("flashflat", "flashq"):
+        m = DenseViT(_hd64_vit_cfg(attn_impl=impl, tp_layout=True))
+        taps, _ = m.apply(v, x)  # same param tree: both use the TP path
+        for a, b in zip(ref_taps, taps):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_flashqp_with_tp_layout_keeps_attention_residual():
+    """Regression (round-2 advisor, medium): Block with
+    attn_impl='flashqp', quant='static', tp_layout=True used to take
+    the fused branch while Attention routed to the TP path that
+    ignores `resid` — silently dropping the attention residual."""
+    from lseg_tpu.models.vit import Block
+
+    d, h = 128, 2
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(2, 17, d).astype(np.float32))
+    ref_m = Block(dim=d, num_heads=h, mlp_ratio=2.0,
+                  attn_impl="xla", quant="static", tp_layout=True)
+    v = ref_m.init(jax.random.PRNGKey(0), x)
+    ref, _ = ref_m.apply(v, x)
+    m = Block(dim=d, num_heads=h, mlp_ratio=2.0,
+              attn_impl="flashqp", quant="static", tp_layout=True)
+    out, _ = m.apply(v, x)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))

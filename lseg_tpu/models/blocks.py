@@ -127,8 +127,14 @@ class TokenUpsample(nn.Module):
             wkern.astype(self.dtype),
             preferred_element_type=jnp.float32,
         )
-        y = y.reshape(n, h * s, w * s, self.channels) + b.astype(jnp.float32)
-        return y.astype(self.dtype)
+        # bias-add + downcast BEFORE the pixel-shuffle reshape: the
+        # (n,h,s,w,s,o)->(n,hs,ws,o) interleave materializes a relayout
+        # copy, and running it on bf16 instead of the fp32 matmul output
+        # halves its HBM traffic (profiled 0.375 ms at the reassemble1
+        # 120x120x256 shape). Same math: bias broadcasts over the last
+        # dim either side of the reshape.
+        y = (y + b.astype(jnp.float32)).astype(self.dtype)
+        return y.reshape(n, h * s, w * s, self.channels)
 
 
 class Reassemble(nn.Module):

@@ -135,6 +135,189 @@ def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps,
     o_ref[:] = (lo * inv).astype(o_ref.dtype)[:, :k_out]
 
 
+def _head1_up_argmax_kernel(
+    ho_ref, hw_ref,       # SMEM: (2H,) int32 row floor, (2H,) fp32 frac
+    xp_ref, xc_ref, xn_ref,  # (1, R, W, C) int8 prev/center/next blocks
+    w_ref, sc_ref, b_ref, t_ref, wi_ref,
+    o_ref,                # (1, 2R, 2W) int32 predictions
+    lo_ref,               # VMEM scratch (rp2*W, K) bf16 logit rows
+    hb_ref,               # VMEM scratch (2R, W, K) bf16 H-blended rows
+    ub_ref,               # VMEM scratch (2R, 2W, K) bf16 upsampled rows
+    *, rows, eps,
+):
+    """Fused int8 head1 1x1 conv + deferred-norm correlation + x2
+    align-corners bilinear upsample + argmax for one (image, row-band)
+    grid step. The (M, E) pixel-embedding map, the (N, H, W, K)
+    half-res logit map AND the (N, 2H, 2W, K) upsampled logit map never
+    exist in HBM — the XLA tail costs ~2.2 ms/batch-8 in relayout
+    copies + interp matmul + a 553 MB recompute-fused argmax read at
+    the flagship shape; here only (N, 2H, 2W) int32 leaves the kernel.
+
+    H-interp needs source rows [r0-1, r0+R]; the one-row halos come
+    from re-reading the neighbor blocks (clamped index maps) and
+    recomputing their edge embeddings ((R+2)/R compute overhead).
+
+    The interior is phase-separated so each unit stays busy instead of
+    ping-ponging per output row (the first cut — blend + small matmul
+    + argmax serialised per row — measured 6.3 ms vs the 3.65 ms XLA
+    tail; a single 3-D blend dot_general is not lowerable, Mosaic
+    reshape limits): all 2R dynamic-slice H-blends (pure VPU) fill a
+    scratch, then 2R static W-interp matmuls queue back-to-back on the
+    MXU, then ONE vectorized lane-argmax covers the band.
+
+    MEASURED DEAD END (interleaved A/B, scripts/headtail_ab.py,
+    flagship shape N=8 H=W=240 C=256 E=512 K=150): best form 5.9 ms
+    vs the XLA tail's 3.6 — the three serial phases (per-row embed
+    matmuls incl. 25% halo recompute, dynamic-slice VPU blends, 2R
+    small W-interp matmuls) lose to XLA's overlapped streams, the
+    same pattern as flashqp/mlpf. rows=16/24 OOM the 16 MB scoped
+    VMEM; per-row 2-D argmax 8.2 ms. Kept as tested infrastructure
+    (non-default); the serving tail stays head1_correlate_fused +
+    XLA upsample/argmax."""
+    r_blk = pl.program_id(1)
+    rp2 = rows + 2
+    _, _, w_sz, c = xc_ref.shape
+    k = t_ref.shape[0]
+
+    # ---- embeddings + deferred-norm logits for rows r0-1 .. r0+R,
+    # chunked per source row to bound the fp32 value intermediates
+    # (full-band acc+e are 2x 4.9 MB and blow the 16 MB scoped-VMEM
+    # stack; per-row they are 2x 0.5 MB and the static loop pipelines)
+    for r in range(rp2):
+        if r == 0:
+            xrow = xp_ref[0, rows - 1]
+        elif r == rp2 - 1:
+            xrow = xn_ref[0, 0]
+        else:
+            xrow = xc_ref[0, r - 1]        # (W, C) int8
+        acc = jax.lax.dot_general(
+            xrow, w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        e = acc.astype(jnp.float32) * sc_ref[:] + b_ref[:]
+        inv = jax.lax.rsqrt(
+            jnp.maximum(jnp.sum(e * e, axis=1, keepdims=True), eps))
+        lo_ref[r * w_sz:(r + 1) * w_sz] = (jax.lax.dot_general(
+            e.astype(jnp.bfloat16), t_ref[:],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * inv).astype(jnp.bfloat16)      # (W, K)
+
+    # ---- phase 1: H-blend every output row (VPU, dynamic slices) ----
+    for j in range(2 * rows):
+        jo = 2 * rows * r_blk + j
+        rel = ho_ref[jo] - (r_blk * rows - 1)
+        f = hw_ref[jo]
+        pair = lo_ref[pl.ds(rel * w_sz, 2 * w_sz)]   # 2 source rows
+        hb_ref[j] = (
+            pair[:w_sz].astype(jnp.float32) * (1.0 - f)
+            + pair[w_sz:].astype(jnp.float32) * f
+        ).astype(jnp.bfloat16)
+    # ---- phase 2: W-interp, static MXU matmuls back-to-back ----
+    wi = wi_ref[:]                         # (2W, W) bf16
+    for j in range(2 * rows):
+        ub_ref[j] = jax.lax.dot_general(
+            wi, hb_ref[j],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)             # (2W, K)
+    # ---- phase 3: one 3-D lane argmax over the whole band (the
+    # manual max/where/min formulation hits a Mosaic i1-relayout
+    # limit; Mosaic argmax needs an f32 input; a per-row 2-D argmax
+    # loop measured 8.2 vs 5.9 ms — keep the single 3-D reduce) ----
+    o_ref[0] = jnp.argmax(
+        ub_ref[:].astype(jnp.float32), axis=-1).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logit_scale", "rows", "interpret")
+)
+def head1_correlate_upsample_argmax(
+    xq: jnp.ndarray,      # (N, H, W, C) int8 — quantized path1
+    sx: jnp.ndarray,      # fp32 scalar activation scale (amax/127)
+    w1q: jnp.ndarray,     # (1, 1, C, E) int8 head1 kernel
+    s1: jnp.ndarray,      # (E,) fp32 per-channel weight scales
+    b1: jnp.ndarray,      # (E,) fp32 head1 bias
+    text_features: jnp.ndarray,  # (K, E) fp32 raw text features
+    logit_scale: float = 1.0 / 0.07,
+    rows: int = 8,
+    interpret: bool = None,
+) -> jnp.ndarray:         # (N, 2H, 2W) int32 class predictions
+    """Single-scale serving head: argmax over K of the x2-upsampled
+    deferred-norm logits (reference semantics: lseg_net.py:185-205 +
+    the x2 align_corners=True output head lseg_net.py:219-221, argmax
+    as in lseg_app.py:357), all inside one Pallas kernel."""
+    import numpy as np
+
+    from lseg_tpu.ops.resize import _interp_matrix
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c = xq.shape
+    e_dim = w1q.shape[-1]
+    k = text_features.shape[0]
+    assert h % rows == 0, (h, rows)
+    nb = h // rows
+
+    t = text_features.astype(jnp.float32)
+    tn = t * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(t * t, axis=-1, keepdims=True), 1e-24))
+    tn = (logit_scale * tn).astype(jnp.bfloat16)
+    sc = (sx.astype(jnp.float32).reshape(1, 1)
+          * s1.astype(jnp.float32).reshape(1, e_dim))
+
+    # exact torch bilinear weights (ops/resize._interp_matrix): the H
+    # axis as (floor_row, frac) pairs for the in-kernel two-row blend,
+    # the W axis as a dense (2W, W) interp operator for the MXU
+    ah = _interp_matrix(h, 2 * h, align_corners=True)
+    ho = np.argmax(ah > 0, axis=1).astype(np.int32)  # floor row
+    hw_frac = (1.0 - ah[np.arange(2 * h), ho]).astype(np.float32)
+    rp2 = rows + 2
+    wi = jnp.asarray(
+        _interp_matrix(w, 2 * w, align_corners=True), jnp.bfloat16)
+
+    xblk = lambda fn: pl.BlockSpec(
+        (1, rows, w, c),
+        lambda ni, ri: (ni, fn(ri), 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    out = pl.pallas_call(
+        functools.partial(_head1_up_argmax_kernel, rows=rows, eps=1e-24),
+        grid=(n, nb),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # ho
+            pl.BlockSpec(memory_space=pltpu.SMEM),   # hw
+            xblk(lambda ri: jnp.maximum(ri - 1, 0)),
+            xblk(lambda ri: ri),
+            xblk(lambda ri: jnp.minimum(ri + 1, nb - 1)),
+            pl.BlockSpec((c, e_dim), lambda ni, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda ni, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda ni, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, e_dim), lambda ni, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * w, w), lambda ni, ri: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * rows, 2 * w),
+                               lambda ni, ri: (ni, ri, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n, 2 * h, 2 * w), jnp.int32),
+        scratch_shapes=[
+            pltpu.VMEM((rp2 * w, k), jnp.bfloat16),
+            pltpu.VMEM((2 * rows, w, k), jnp.bfloat16),
+            pltpu.VMEM((2 * rows, 2 * w, k), jnp.bfloat16),
+        ],
+        interpret=interpret,
+    )(jnp.asarray(ho), jnp.asarray(hw_frac),
+      xq, xq, xq, w1q.reshape(c, e_dim), sc,
+      b1.astype(jnp.float32).reshape(1, e_dim), tn, wi)
+    return out
+
+
 @functools.partial(
     jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
 )

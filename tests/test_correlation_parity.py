@@ -44,3 +44,39 @@ def test_correlate_fp16_emulation_matches_torch():
     # (same quirk the reference has)
     full = np.asarray(correlate(jnp.asarray(img), jnp.asarray(txt)))
     assert np.max(np.abs(full - ours)) > 1e-6
+
+
+def test_head1_upsample_argmax_kernel_matches_composition():
+    """The fully fused serving head (int8 head1 + deferred-norm
+    correlation + x2 align-corners upsample + argmax) must agree with
+    the composition of its tested pieces (head1_correlate_fused ->
+    upsample2x bf16 -> argmax). Interp accumulation order differs
+    (H-then-W blend vs W-then-H matmuls), so ties/near-ties may flip;
+    require near-total agreement plus logit-level closeness implied by
+    the pieces' own tests."""
+    import jax
+
+    from lseg_tpu.ops.pallas_correlation import (
+        head1_correlate_fused,
+        head1_correlate_upsample_argmax,
+    )
+    from lseg_tpu.ops.resize import upsample2x
+
+    rng = np.random.RandomState(0)
+    n, h, w, c, e, k = 2, 16, 16, 32, 64, 7
+    xq = jnp.asarray(rng.randint(-127, 128, (n, h, w, c)), jnp.int8)
+    sx = jnp.float32(0.02)
+    w1q = jnp.asarray(rng.randint(-127, 128, (1, 1, c, e)), jnp.int8)
+    s1 = jnp.asarray(rng.rand(e).astype(np.float32) * 0.01 + 1e-3)
+    b1 = jnp.asarray(rng.randn(e).astype(np.float32) * 0.1)
+    txt = jnp.asarray(rng.randn(k, e).astype(np.float32))
+
+    half = head1_correlate_fused(xq, sx, w1q, s1, b1, txt)
+    want = np.asarray(jnp.argmax(
+        upsample2x(half, align_corners=True,
+                   compute_dtype=jnp.bfloat16), axis=-1))
+    got = np.asarray(head1_correlate_upsample_argmax(
+        xq, sx, w1q, s1, b1, txt, rows=4))
+    assert got.shape == (n, 2 * h, 2 * w)
+    agree = (got == want).mean()
+    assert agree > 0.98, agree

@@ -131,13 +131,32 @@ class COCOSegmentation:
         for ann in data["annotations"]:
             if ann["category_id"] in cat_ok:
                 by_img.setdefault(ann["image_id"], []).append(ann)
+        # The min_pixels filter needs a full mask rasterization per
+        # image — minutes of CPU on train2017. Cache the surviving id
+        # list in a sidecar keyed on (ann_file, min_pixels), the same
+        # reason PyTorch-Encoding caches its preprocessed ids
+        # (reference: fewshot_data/data/coco.py mask caching).
+        cache = f"{ann_file}.lseg_ids_min{min_pixels}.npy"
+        kept: List[int] | None = None
+        if (os.path.exists(cache)
+                and os.path.getmtime(cache) >= os.path.getmtime(ann_file)):
+            kept = [int(i) for i in np.load(cache)]
+        if kept is None:
+            kept = []
+            for iid, anns in sorted(by_img.items()):
+                im = imgs[iid]
+                mask = self._build_mask(anns, im["height"], im["width"])
+                if (mask > 0).sum() >= min_pixels:
+                    kept.append(iid)
+            try:
+                np.save(cache, np.asarray(kept, np.int64))
+            except OSError:
+                pass  # read-only dataset dir: just skip the cache
         self.items = []
-        for iid, anns in sorted(by_img.items()):
+        for iid in kept:
             im = imgs[iid]
-            mask = self._build_mask(anns, im["height"], im["width"])
-            if (mask > 0).sum() >= min_pixels:
-                self.items.append((im["file_name"],
-                                   im["height"], im["width"], anns))
+            self.items.append((im["file_name"],
+                               im["height"], im["width"], by_img[iid]))
 
     @staticmethod
     def _build_mask(anns, h: int, w: int) -> np.ndarray:

@@ -53,6 +53,12 @@ class DataLoader:
         self.process_index = process_index
         self.epoch = 0
 
+    def set_epoch(self, epoch: int) -> None:
+        """Reseed the shuffle for `epoch` (DistributedSampler.set_epoch
+        semantics); fit() calls this every epoch so order differs per
+        epoch and resume does not replay epoch-0 order."""
+        self.epoch = int(epoch)
+
     def __len__(self) -> int:
         n = len(self.dataset)
         if self.process_count > 1:

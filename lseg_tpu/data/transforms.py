@@ -148,11 +148,24 @@ class KeepAspectResize:
 
     def __init__(self, width: int, height: int, keep_aspect: bool = True,
                  ensure_multiple_of: int = 32,
-                 resize_method: str = "lower_bound"):
+                 resize_method: str = "lower_bound",
+                 letter_box: bool = False):
         self.w, self.h = width, height
         self.keep_aspect = keep_aspect
         self.m = ensure_multiple_of
         self.method = resize_method
+        self.letter_box = letter_box
+
+    def _letter_box(self, arr: np.ndarray) -> np.ndarray:
+        """Zero-pad symmetrically toward (self.h, self.w) (reference:
+        utils.py:315-321 make_letter_box). Each side gets
+        (target - current) // 2, so an odd difference leaves the
+        result one pixel short of the target — the reference quirk is
+        kept exactly."""
+        top = (self.h - arr.shape[0]) // 2
+        left = (self.w - arr.shape[1]) // 2
+        pad = [(top, top), (left, left)] + [(0, 0)] * (arr.ndim - 2)
+        return np.pad(arr, pad, mode="constant")
 
     def _mult(self, x: float, min_val: int = 0, max_val=None) -> int:
         y = int(np.round(x / self.m) * self.m)
@@ -187,4 +200,7 @@ class KeepAspectResize:
 
     def __call__(self, img: Image.Image) -> Image.Image:
         ow, oh = self.get_size(*img.size)
-        return pil_resize(img, (oh, ow), is_mask=False)
+        out = pil_resize(img, (oh, ow), is_mask=False)
+        if self.letter_box:
+            out = Image.fromarray(self._letter_box(np.asarray(out)))
+        return out

@@ -53,6 +53,18 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mgr.latest_step()
 
+    def latest_metrics(self) -> Optional[dict]:
+        """Metrics dict recorded with the newest checkpoint (fit()
+        stashes the epoch there so resume restarts at the right epoch
+        even if the loader length changed)."""
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        try:
+            return dict(self._mgr.metadata(step).metrics or {})
+        except Exception:
+            return None
+
     def restore(self, state_template) -> Any:
         """Restore the newest checkpoint into the template's structure
         (shapes/shardings from the template)."""

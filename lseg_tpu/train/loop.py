@@ -80,8 +80,13 @@ def fit(
         restored = ckpt.restore(state)
         if restored is not None:
             state = restored
-            steps_per_epoch = max(len(train_loader), 1)
-            start_epoch = int(state.step) // steps_per_epoch
+            saved = (ckpt.latest_metrics() or {}).get("epoch")
+            if saved is not None:
+                # exact: the checkpoint records the epoch it closed
+                start_epoch = int(saved) + 1
+            else:  # legacy checkpoints: infer from the step counter
+                steps_per_epoch = max(len(train_loader), 1)
+                start_epoch = int(state.step) // steps_per_epoch
             log(f"resumed from step {int(state.step)} "
                 f"(epoch {start_epoch})")
 
@@ -102,6 +107,11 @@ def fit(
             pass
 
     for epoch in range(start_epoch, cfg.max_epochs):
+        # per-epoch shuffle reseed (the reference's DistributedSampler
+        # set_epoch); without it the shuffle order repeats identically
+        # every epoch and after every resume
+        if hasattr(train_loader, "set_epoch"):
+            train_loader.set_epoch(epoch)
         t0 = time.time()
         last_loss = float("nan")
         n_steps = 0
@@ -144,9 +154,10 @@ def fit(
                 f"mIoU {val_miou:.4f} ({epoch_time:.1f}s)"
             )
             ckpt.save(int(state.step), state,
-                      {"val_acc": val_acc, "val_miou": val_miou})
+                      {"val_acc": val_acc, "val_miou": val_miou,
+                       "epoch": float(epoch)})
         else:
-            ckpt.save(int(state.step), state, {})
+            ckpt.save(int(state.step), state, {"epoch": float(epoch)})
 
         csv.log(row)
         sinks.scalars(epoch, {

@@ -126,3 +126,19 @@ def test_coco_polygon_and_min_pixels(coco_tree):
 def test_missing_annotations_raise(tmp_path):
     with pytest.raises(FileNotFoundError):
         COCOSegmentation(str(tmp_path), "val")
+
+
+def test_min_pixels_filter_is_cached(coco_tree):
+    import glob
+
+    ds = COCOSegmentation(coco_tree, "val", mode="testval")
+    sidecars = glob.glob(
+        coco_tree + "/coco/annotations/*.lseg_ids_min1000.npy")
+    assert len(sidecars) == 1
+    # second construction must load the cached id list (and per-cfg
+    # caches must not collide: a different min_pixels re-filters)
+    ds2 = COCOSegmentation(coco_tree, "val", mode="testval")
+    assert [it[0] for it in ds2.items] == [it[0] for it in ds.items]
+    ds3 = COCOSegmentation(coco_tree, "val", mode="testval",
+                           min_pixels=10)
+    assert len(ds3) == 2 and len(ds2) == 1

@@ -81,7 +81,10 @@ def test_fit_synthetic_and_resume(tmp_path):
         fit_cfg3,
         log=logs2.append,
     )
-    assert any("resumed from step 4" in s for s in logs2)
+    # exact epoch accounting via checkpoint metadata: the last saved
+    # epoch was 1, so resume restarts at epoch 2 (not a
+    # len(train_loader)-derived guess)
+    assert any("resumed from step 4 (epoch 2)" in s for s in logs2)
     assert int(final2.step) == 6
 
     # training made progress: final params give better val acc than init
@@ -102,6 +105,17 @@ def test_fit_synthetic_and_resume(tmp_path):
     acc_init = float(m_init["correct"]) / float(m_init["labeled"])
     acc_final = float(m_final["correct"]) / float(m_final["labeled"])
     assert acc_final > acc_init
+
+
+def test_loader_set_epoch_reshuffles():
+    ds = SyntheticSegDataset(n=16, size=8, num_classes=4)
+    dl = DataLoader(ds, 4, num_workers=1, seed=3)
+    e0 = list(dl._indices())
+    dl.set_epoch(1)
+    e1 = list(dl._indices())
+    assert sorted(e0) == sorted(e1) and e0 != e1
+    dl.set_epoch(0)
+    assert list(dl._indices()) == e0
 
 
 def test_loader_propagates_worker_errors():

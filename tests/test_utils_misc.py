@@ -45,6 +45,24 @@ def test_keep_aspect_resize_modes():
     assert out.size[0] % 32 == 0 and out.size[1] % 32 == 0
 
 
+def test_keep_aspect_resize_letterbox():
+    # upper_bound + letterbox: zero-pad symmetrically toward the
+    # target; odd differences under-pad by 1 (reference quirk,
+    # utils.py:315-321)
+    img = Image.new("RGB", (640, 427), (200, 100, 50))
+    r = KeepAspectResize(480, 480, resize_method="upper_bound",
+                         letter_box=True)
+    ow, oh = r.get_size(640, 427)
+    out = np.asarray(r(img))
+    top, left = (480 - oh) // 2, (480 - ow) // 2
+    assert out.shape == (oh + 2 * top, ow + 2 * left, 3)
+    if top:
+        assert (out[:top] == 0).all() and (out[-top:] == 0).all()
+    if left:
+        assert (out[:, :left] == 0).all()
+    assert (out[top + 1, left + 1] != 0).any()
+
+
 def test_cityscapes_protocol_plan():
     p = CITYSCAPES_PROTOCOL
     assert p.stride == 512

@@ -379,3 +379,105 @@ def test_calibrated_act_scales():
     oq = np.asarray(mq.apply(vq, x, txt))
     agree = (o.argmax(-1) == oq.argmax(-1)).mean()
     assert agree > 0.95, agree
+
+
+def test_trained_model_fast_int8_miou_parity():
+    """The decisive accuracy gate for the fast-serving stack (VERDICT
+    r2: random-init argmax agreement is weak evidence — margins are
+    near zero). Train the tiny head_dim-64 LSegNet to convergence on
+    the synthetic set with the PARITY config (val mIoU ~0.85 on a
+    held-out same-color slice), then evaluate the full bench.py
+    fast-int8 stack (flashq fused attention kernel + tanh GELU + bf16
+    deferred-norm fused head + static int8 projections and decoder
+    with calibrated act scales, kernels in interpret mode on CPU)
+    against the parity model: the mIoU delta must be small ON REAL
+    MARGINS.
+
+    Training notes (measured): the reference SGD+poly recipe cannot
+    break the background-class collapse on this tiny task, and a
+    16-image train set gets memorized via pos-embed (val mIoU 0.20);
+    plain Adam 1e-3 over 128 images learns the color rule. Val images
+    must come from the SAME dataset seed (class colors are drawn per
+    seed). A half-trained model (600 steps, mIoU 0.80) shows LARGER
+    int8 drift (delta 0.062, agreement 0.96) — the gate below is for
+    the converged sharp-margin regime that matches real released
+    checkpoints."""
+    import optax
+
+    from lseg_tpu.data.synthetic import SyntheticSegDataset
+    from lseg_tpu.ops.quant import calibrate_act_scales
+    from lseg_tpu.train.state import create_train_state
+    from lseg_tpu.train.step import make_train_step
+
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base, vit=dataclasses.replace(base.vit, embed_dim=128,
+                                      num_heads=2))
+    nc = 4
+    n_train = 128
+    ds = SyntheticSegDataset(n=n_train + 8, size=64, num_classes=nc)
+
+    def stack(lo, hi):
+        return {
+            "image": jnp.asarray(
+                np.stack([ds[i]["image"] for i in range(lo, hi)])),
+            "target": jnp.asarray(
+                np.stack([ds[i]["target"] for i in range(lo, hi)])),
+        }
+
+    batches = [stack(i * 8, (i + 1) * 8) for i in range(n_train // 8)]
+    # 4 val images keep the slow interpret-mode kernel forwards cheap
+    # (16k pixels is plenty for the mIoU comparison)
+    val = stack(n_train, n_train + 4)
+
+    rng = np.random.RandomState(0)
+    txt = jnp.asarray(rng.randn(nc, cfg.out_c).astype(np.float32))
+
+    model = LSegNet(cfg)  # fp32 training, parity semantics
+    variables = model.init(
+        jax.random.PRNGKey(0), batches[0]["image"][:1], txt, train=True)
+    state = create_train_state(model, variables, optax.adam(1e-3))
+    train_step = jax.jit(make_train_step(-1, 1), donate_argnums=(0,))
+    for step in range(1200):
+        state, metrics = train_step(
+            state, batches[step % len(batches)], txt)
+    final_loss = float(metrics["loss"])
+    assert final_loss < 0.15, final_loss  # converged, margins are real
+
+    trained = {"params": jax.device_get(state.params),
+               "batch_stats": jax.device_get(state.batch_stats)}
+
+    def miou(pred, tgt):
+        ious = []
+        for c in range(nc):
+            inter = ((pred == c) & (tgt == c)).sum()
+            union = ((pred == c) | (tgt == c)).sum()
+            if union:
+                ious.append(inter / union)
+        return float(np.mean(ious))
+
+    tgt = np.asarray(val["target"])
+    # parity serving model (the evaluate.py default: bf16 compute,
+    # fp32 head, erf GELU, XLA attention)
+    mp = LSegNet(cfg, dtype=jnp.bfloat16)
+    pred_p = np.asarray(jnp.argmax(
+        mp.apply(trained, val["image"], txt), -1))
+    miou_p = miou(pred_p, tgt)
+
+    # full fast-int8 stack, exactly as bench.py builds it
+    cfg_f = fast_serving(cfg, quant="static_cal")
+    assert cfg_f.vit.attn_impl == "flashq"
+    assert cfg_f.decoder_quant == "static_cal" and cfg_f.head_fused
+    mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    vf = dict(trained)
+    vf["params"] = quantize_tree(trained["params"], decoder=True,
+                                 act_scale=True)
+    vf = calibrate_act_scales(mf, vf, batches[0]["image"][:4], txt)
+    pred_f = np.asarray(jnp.argmax(
+        mf.apply(vf, val["image"], txt), -1))
+    miou_f = miou(pred_f, tgt)
+
+    agree = (pred_p == pred_f).mean()
+    assert miou_p > 0.7, (miou_p, final_loss)
+    assert agree > 0.97, (agree, miou_p, miou_f)
+    assert abs(miou_p - miou_f) < 0.03, (miou_p, miou_f)

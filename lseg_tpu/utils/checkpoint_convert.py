@@ -522,6 +522,15 @@ def to_tp_layout(params, num_heads: int):
     bias (..., 3, H, hd), proj kernel (..., H, hd, D). Leading scan axes
     are preserved. Inverse: `from_tp_layout`."""
 
+    def reshape(a, shape):
+        # works on np arrays, jax arrays AND tracers (so the flagship
+        # AOT dryrun can run this under jax.eval_shape)
+        if isinstance(a, np.ndarray):
+            return a.reshape(shape)
+        import jax.numpy as jnp
+
+        return jnp.reshape(a, shape)
+
     def rec(node):
         if not isinstance(node, dict):
             return node
@@ -530,20 +539,20 @@ def to_tp_layout(params, num_heads: int):
             if (k == "attn" and isinstance(v, dict)
                     and "qkv" in v and "proj" in v
                     and "kernel" in v.get("qkv", {})):
-                qk = np.asarray(v["qkv"]["kernel"])
+                qk = v["qkv"]["kernel"]
                 d = qk.shape[-2]
                 h = num_heads
                 hd = d // h
-                qb = np.asarray(v["qkv"]["bias"])
-                pk = np.asarray(v["proj"]["kernel"])
+                qb = v["qkv"]["bias"]
+                pk = v["proj"]["kernel"]
                 out[k] = {
                     "qkv": {
-                        "kernel": qk.reshape(*qk.shape[:-1], 3, h, hd),
-                        "bias": qb.reshape(*qb.shape[:-1], 3, h, hd),
+                        "kernel": reshape(qk, (*qk.shape[:-1], 3, h, hd)),
+                        "bias": reshape(qb, (*qb.shape[:-1], 3, h, hd)),
                     },
                     "proj": {
-                        "kernel": pk.reshape(*pk.shape[:-2], h, hd,
-                                             pk.shape[-1]),
+                        "kernel": reshape(pk, (*pk.shape[:-2], h, hd,
+                                               pk.shape[-1])),
                         "bias": v["proj"]["bias"],
                     },
                 }

@@ -71,6 +71,14 @@ class ViTConfig:
     # so TP sharding stays collective-free through attention. Convert
     # flat checkpoints with utils.checkpoint_convert.to_tp_layout.
     tp_layout: bool = False
+    # run the whole depth as ONE scan (params under vit/segall, every
+    # block output streamed as a scan y, taps gathered by static
+    # slicing) instead of 4 hook-bounded segments (vit/seg0..3). Trades
+    # one extra (N,T,D) HBM write per block for 3 fewer XLA loop peels
+    # (the 4x ~0.33 ms peeled first-iteration LayerNorm fusions).
+    # Convert segment params with utils.checkpoint_convert.
+    # segments_to_single_scan.
+    single_scan: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

@@ -424,6 +424,7 @@ class Block(nn.Module):
     valid_len: Any = None
     kernel_variant: str = "v1"
     mlp_fused: bool = False
+    emit_y: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, _=None):
@@ -466,7 +467,12 @@ class Block(nn.Module):
             x2 = x2 + Mlp(self.dim, hidden,
                           self.dtype, quant=self.quant, gelu=self.gelu,
                           name="mlp")(y)
-        return x2.reshape(n, t, d), None
+        out = x2.reshape(n, t, d)
+        # emit_y: stream every block's output as a scan y so a single
+        # whole-depth scan can gather hook taps afterwards (the
+        # single_scan experiment; costs one extra (N,T,D) HBM write
+        # per iteration)
+        return out, (out if self.emit_y else None)
 
 
 class BlockStack(nn.Module):
@@ -495,9 +501,10 @@ class BlockStack(nn.Module):
     valid_len: Any = None
     kernel_variant: str = "v1"
     mlp_fused: bool = False
+    emit_ys: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         block_cls = (nn.remat(Block, policy=self.remat_policy)
                      if self.remat else Block)
         scan = nn.scan(
@@ -507,7 +514,7 @@ class BlockStack(nn.Module):
             length=self.n,
             metadata_params={nn.meta.PARTITION_NAME: None},
         )
-        x, _ = scan(
+        x, ys = scan(
             dim=self.dim,
             num_heads=self.num_heads,
             mlp_ratio=self.mlp_ratio,
@@ -521,9 +528,10 @@ class BlockStack(nn.Module):
             valid_len=self.valid_len,
             kernel_variant=self.kernel_variant,
             mlp_fused=self.mlp_fused,
+            emit_y=self.emit_ys,
             name="blocks",
         )(x, None)
-        return x
+        return (x, ys) if self.emit_ys else x
 
 
 class _PatchEmbed(nn.Module):
@@ -630,33 +638,46 @@ class DenseViT(nn.Module):
             x = jnp.pad(x, ((0, 0), (0, tp - t_tokens), (0, 0)))
             valid_len = t_tokens
 
+        common = dict(
+            dim=d,
+            num_heads=cfg.num_heads,
+            mlp_ratio=cfg.mlp_ratio,
+            dtype=self.dtype,
+            remat=self.remat,
+            remat_policy=self.remat_policy,
+            attn_impl=cfg.attn_impl,
+            attn_scores_dtype=(
+                jnp.bfloat16 if cfg.attn_scores_dtype == "bfloat16"
+                else jnp.float32
+            ),
+            quant=cfg.quant_int8,
+            gelu=cfg.mlp_gelu,
+            tp_layout=cfg.tp_layout,
+            block_q=cfg.attn_block_q,
+            valid_len=valid_len,
+            kernel_variant=cfg.attn_variant,
+            mlp_fused=cfg.mlp_fused,
+        )
+        taps: List[jnp.ndarray] = []
+        if cfg.single_scan:
+            # one whole-depth scan; every block output streams to ys
+            # and the hook taps are static slices of it
+            _, ys = BlockStack(
+                n=cfg.hooks[-1] + 1, emit_ys=True, name="segall",
+                **common,
+            )(x)
+            for hook in cfg.hooks:
+                t = ys[hook]
+                taps.append(t[:, :t_tokens] if valid_len else t)
+            return taps, (gh, gw)
+
         # Segmented scan: blocks [0..h0], (h0..h1], (h2..h3] — each segment
         # ends exactly at a hook, so the segment outputs ARE the taps.
-        taps: List[jnp.ndarray] = []
         prev = -1
         for i, hook in enumerate(cfg.hooks):
             seg_len = hook - prev
             x = BlockStack(
-                n=seg_len,
-                dim=d,
-                num_heads=cfg.num_heads,
-                mlp_ratio=cfg.mlp_ratio,
-                dtype=self.dtype,
-                remat=self.remat,
-                remat_policy=self.remat_policy,
-                attn_impl=cfg.attn_impl,
-                attn_scores_dtype=(
-                    jnp.bfloat16 if cfg.attn_scores_dtype == "bfloat16"
-                    else jnp.float32
-                ),
-                quant=cfg.quant_int8,
-                gelu=cfg.mlp_gelu,
-                tp_layout=cfg.tp_layout,
-                block_q=cfg.attn_block_q,
-                valid_len=valid_len,
-                kernel_variant=cfg.attn_variant,
-                mlp_fused=cfg.mlp_fused,
-                name=f"seg{i}",
+                n=seg_len, name=f"seg{i}", **common,
             )(x)
             taps.append(x[:, :t_tokens] if valid_len else x)
             prev = hook

@@ -59,14 +59,18 @@ def resize_bilinear(
     out_w: int,
     align_corners: bool = True,
     compute_dtype=jnp.float32,
+    order: str = "hw",
 ) -> jnp.ndarray:
     """Bilinearly resize an NHWC (or HWC) tensor to (out_h, out_w).
 
     Matches torch F.interpolate(mode='bilinear', align_corners=...) exactly
-    at the default fp32 compute dtype. Implemented as two matmuls;
-    `compute_dtype=jnp.bfloat16` halves the HBM streams for serving paths
-    that tolerate bf16 rounding.
-    """
+    at the default fp32 compute dtype and order='hw'. Implemented as two
+    matmuls; `compute_dtype=jnp.bfloat16` halves the HBM streams for
+    serving paths that tolerate bf16 rounding. `order='wh'` applies the
+    W-interp matmul first — the separable interp is exact under either
+    order up to fp summation rounding; XLA picks different layouts for
+    the two orders, which matters next to layout-constrained custom
+    calls (the fused serving head)."""
     squeeze = False
     if x.ndim == 3:
         x = x[None]
@@ -75,16 +79,25 @@ def resize_bilinear(
     if (h, w) != (out_h, out_w):
         dt = x.dtype
         xf = x.astype(compute_dtype)
-        if h != out_h:
+
+        def h_interp(xf):
             Ah = jnp.asarray(
                 _interp_matrix(h, out_h, align_corners)
             ).astype(compute_dtype)
-            xf = jnp.einsum("oh,nhwc->nowc", Ah, xf)
-        if w != out_w:
+            return jnp.einsum("oh,nhwc->nowc", Ah, xf)
+
+        def w_interp(xf):
             Aw = jnp.asarray(
                 _interp_matrix(w, out_w, align_corners)
             ).astype(compute_dtype)
-            xf = jnp.einsum("ow,nhwc->nhoc", Aw, xf)
+            return jnp.einsum("ow,nhwc->nhoc", Aw, xf)
+
+        assert order in ("hw", "wh"), order
+        for stage in order:
+            if stage == "h" and h != out_h:
+                xf = h_interp(xf)
+            elif stage == "w" and w != out_w:
+                xf = w_interp(xf)
         x = xf.astype(dt)
     if squeeze:
         x = x[0]
@@ -92,9 +105,9 @@ def resize_bilinear(
 
 
 def upsample2x(x: jnp.ndarray, align_corners: bool = True,
-               compute_dtype=jnp.float32) -> jnp.ndarray:
+               compute_dtype=jnp.float32, order: str = "hw") -> jnp.ndarray:
     """×2 bilinear upsample of an NHWC tensor (the fusion-block / output-head
     path, reference: lseg_blocks.py:352-354, lseg_net.py:219-221)."""
     n, h, w, c = x.shape
     return resize_bilinear(x, 2 * h, 2 * w, align_corners=align_corners,
-                           compute_dtype=compute_dtype)
+                           compute_dtype=compute_dtype, order=order)

@@ -32,9 +32,13 @@ def tiny_vit_config(**kw) -> LSegConfig:
         vit=ViTConfig(
             patch_size=16,
             embed_dim=64,
-            depth=8,
+            depth=4,
             num_heads=2,
-            hooks=(1, 3, 5, 7),
+            # depth 4 / one block per segment: halves the dominant
+            # per-test compile+run cost on 1-CPU hosts while still
+            # exercising the segmented scan, all 4 reassemble levels
+            # and the fusion cascade
+            hooks=(0, 1, 2, 3),
             post_channels=(16, 32, 64, 64),
             resample=(4.0, 2.0, 1.0, 0.5),
             pretrain_grid=4,

@@ -513,6 +513,35 @@ def convert_torchvision_resnet(
 # tensor-parallel (head-major) attention param layout
 # ---------------------------------------------------------------------------
 
+def segments_to_single_scan(params):
+    """vit/seg0..segN stacked block params -> vit/segall with the
+    leading (scan) axes concatenated in block order, for
+    `ViTConfig.single_scan=True` (one whole-depth scan with streamed
+    taps). Pure concatenation; inverse split is the hook-length
+    partition of axis 0."""
+    import re as _re
+
+    import jax
+
+    vit = dict(params["vit"])
+    seg_names = sorted(
+        (k for k in vit if _re.fullmatch(r"seg\d+", k)),
+        key=lambda s: int(s[3:]))
+    trees = [vit.pop(s)["blocks"] for s in seg_names]
+
+    def cat(*leaves):
+        if isinstance(leaves[0], np.ndarray):
+            return np.concatenate(leaves, axis=0)
+        import jax.numpy as jnp
+
+        return jnp.concatenate(leaves, axis=0)
+
+    vit["segall"] = {"blocks": jax.tree_util.tree_map(cat, *trees)}
+    out = dict(params)
+    out["vit"] = vit
+    return out
+
+
 def to_tp_layout(params, num_heads: int):
     """Flat attention params -> head-major TP layout (pure reshapes).
 

@@ -157,6 +157,43 @@ def _fwd_headf_tailv2(model, cfg):
     return fwd
 
 
+def _fwd_headf_tailwh(model, cfg):
+    """head-fused model emits half-res logits; the x2 output upsample
+    runs W-interp FIRST (order='wh'). The profile shows a 0.65 ms
+    relayout copy of the head kernel's (N,240,240,150) output feeding
+    the H-interp matmul in the default 'hw' order — the other order may
+    consume the kernel's native layout."""
+
+    def fwd(v, x, t):
+        lo = model.apply(v, x, t, return_halfres=True)
+        up = upsample2x(lo, align_corners=True,
+                        compute_dtype=jnp.bfloat16, order="wh")
+        return jnp.argmax(up.astype(jnp.float32), axis=-1)
+    return fwd
+
+
+def _cfg_int8_sscan():
+    cfg = _cfg_int8_headf()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, single_scan=True))
+
+
+def _prep_int8_cal_sscan(v):
+    # same as _prep_int8_cal but calibrates through the single-scan
+    # model (the param tree lives under vit/segall)
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    from lseg_tpu.utils.checkpoint_convert import segments_to_single_scan
+
+    model = LSegNet(_cfg_int8_sscan(), dtype=jnp.bfloat16)
+    vv = {**v, "params": quantize_tree(
+        segments_to_single_scan(v["params"]), decoder=True,
+        act_scale=True)}
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 480, 480, 3), jnp.float32)
+    return calibrate_act_scales(model, vv, x, None)
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -296,6 +333,9 @@ VARIANTS = {
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
     "int8_tailv2": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
                        fwd_fn=_fwd_headf_tailv2),
+    "int8_tailwh": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
+                       fwd_fn=_fwd_headf_tailwh),
+    "int8_sscan": _mk(_cfg_int8_sscan, prep=_prep_int8_cal_sscan),
     "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
                         fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),

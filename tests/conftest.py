@@ -16,11 +16,22 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+# XLA:CPU compile time dominates suite wall time on small hosts (the
+# persistent cache must stay off, see below). Backend optimization
+# level 0 compiles ~2.3x faster, and correctness coverage is
+# unaffected: oracle/exactness tests still pass (numerics become MORE
+# literal, not less). Opt out per-run with LSEG_TEST_FULL_OPT=1.
+if not os.environ.get("LSEG_TEST_FULL_OPT"):
+    os.environ.setdefault("JAX_DISABLE_MOST_OPTIMIZATIONS", "1")
 
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# belt+braces: the ambient env can pre-import jax (sitecustomize), in
+# which case the env var above is consumed too late
+if not os.environ.get("LSEG_TEST_FULL_OPT"):
+    jax.config.update("jax_disable_most_optimizations", True)
 # NOTE: the persistent XLA:CPU compile cache is DISABLED here. In this
 # environment deserializing cached CPU AOT executables crashes the
 # process (SIGSEGV/abort inside compilation_cache.get_executable_and_time

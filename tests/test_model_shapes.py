@@ -146,3 +146,37 @@ def test_all_registry_backbones_wire_up():
         out = jax.eval_shape(init_and_apply)
         assert out.shape == (1, 64, 64, 5), (name, out.shape)
         assert out.dtype == jnp.float32, name
+
+
+def test_single_scan_matches_segmented():
+    """ViTConfig.single_scan=True (one whole-depth scan, taps gathered
+    from the streamed ys) must reproduce the segmented model exactly on
+    converted params (utils.checkpoint_convert.segments_to_single_scan
+    concatenates seg0..3 stacked block params in block order)."""
+    import dataclasses
+
+    import numpy as np
+
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.testing import tiny_vit_config
+    from lseg_tpu.utils.checkpoint_convert import segments_to_single_scan
+
+    cfg = tiny_vit_config()
+    cfg_ss = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, single_scan=True))
+    m = LSegNet(cfg)
+    ms = LSegNet(cfg_ss)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+    vs = {"params": segments_to_single_scan(v["params"]),
+          "batch_stats": v["batch_stats"]}
+    # the converted tree must match the single-scan model's own init
+    # structure (so checkpoints convert cleanly)
+    vs0 = ms.init(jax.random.PRNGKey(0), x, txt)
+    assert jax.tree_util.tree_structure(
+        vs0["params"]) == jax.tree_util.tree_structure(vs["params"])
+    a = np.asarray(m.apply(v, x, txt))
+    b = np.asarray(ms.apply(vs, x, txt))
+    np.testing.assert_allclose(a, b, rtol=0, atol=0)

@@ -10,6 +10,7 @@ checkpoints, and CSV/stdout logging.
 
 from __future__ import annotations
 
+import functools
 import os
 import signal
 import time
@@ -53,6 +54,20 @@ class CSVLogger:
         self._f.flush()
 
 
+@functools.lru_cache(maxsize=None)
+def _jitted_train_step(ignore_index: int, accumulate: int):
+    # cached per (ignore_index, accumulate): repeated fit() calls (the
+    # resume path, tests) reuse one jitted callable, so XLA's trace
+    # cache hits instead of recompiling the step
+    return jax.jit(make_train_step(ignore_index, accumulate),
+                   donate_argnums=(0,))
+
+
+@functools.lru_cache(maxsize=None)
+def _jitted_eval_step(ignore_index: int):
+    return jax.jit(make_eval_step(ignore_index))
+
+
 def fit(
     state,
     train_loader,
@@ -63,11 +78,8 @@ def fit(
     log: Callable[[str], None] = print,
 ):
     """Run the full training schedule; returns the final state."""
-    train_step = jax.jit(
-        make_train_step(cfg.ignore_index, cfg.accumulate),
-        donate_argnums=(0,),
-    )
-    eval_step = jax.jit(make_eval_step(cfg.ignore_index))
+    train_step = _jitted_train_step(cfg.ignore_index, cfg.accumulate)
+    eval_step = _jitted_eval_step(cfg.ignore_index)
     ckpt = CheckpointManager(cfg.ckpt_dir)
     csv = CSVLogger(os.path.join(cfg.ckpt_dir, "metrics.csv"))
     from lseg_tpu.utils.sinks import make_sinks

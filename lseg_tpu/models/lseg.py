@@ -144,6 +144,7 @@ class LSegNet(nn.Module):
             # tree identical to the unfused head1 StaticQuantConv.
             from lseg_tpu.ops.pallas_correlation import (
                 head1_correlate_fused,
+                head1_correlate_wup_fused,
             )
             from lseg_tpu.ops.quant import quantize_tensor
 
@@ -157,6 +158,20 @@ class LSegNet(nn.Module):
                     -127, 127).astype(jnp.int8)
             else:
                 xq8, sxs = quantize_tensor(path1)
+            if cfg.head_fused == "wup" and not return_halfres:
+                # kernel also applies the x2 W-interp; only the
+                # H-interp remains for XLA to loop-fuse into the
+                # consumer (the serving argmax)
+                from lseg_tpu.ops.resize import resize_bilinear
+
+                out = head1_correlate_wup_fused(
+                    xq8, sxs, kq, s1, b1, text_features,
+                    logit_scale=cfg.logit_scale,
+                )  # (N, H, 2W, K): resize below applies H only
+                n_, h_, w2_, _ = out.shape
+                return resize_bilinear(
+                    out, 2 * h_, w2_, align_corners=True,
+                    compute_dtype=jnp.bfloat16).astype(jnp.float32)
             out = head1_correlate_fused(
                 xq8, sxs, kq, s1, b1, text_features,
                 logit_scale=cfg.logit_scale,

@@ -172,6 +172,11 @@ def _fwd_headf_tailwh(model, cfg):
     return fwd
 
 
+def _cfg_int8_headwup():
+    cfg = _cfg_int8_flashq()
+    return dataclasses.replace(cfg, head_fused="wup")
+
+
 def _cfg_int8_sscan():
     cfg = _cfg_int8_headf()
     return dataclasses.replace(
@@ -336,6 +341,7 @@ VARIANTS = {
     "int8_tailwh": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
                        fwd_fn=_fwd_headf_tailwh),
     "int8_sscan": _mk(_cfg_int8_sscan, prep=_prep_int8_cal_sscan),
+    "int8_headwup": _mk(_cfg_int8_headwup, prep=_prep_int8_cal),
     "int8_barrier": _mk(_cfg_int8_flashq, prep=_prep_int8_cal,
                         fwd_fn=_fwd_barrier_argmax),
     "int8_dec2": _mk(_cfg_int8_dec2, prep=_prep_int8_dec2),

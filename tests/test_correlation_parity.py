@@ -80,3 +80,33 @@ def test_head1_upsample_argmax_kernel_matches_composition():
     assert got.shape == (n, 2 * h, 2 * w)
     agree = (got == want).mean()
     assert agree > 0.98, agree
+
+
+def test_head1_wup_kernel_matches_composition():
+    """head1_correlate_wup_fused (in-kernel x2 W-interp) must match
+    head1_correlate_fused followed by a W-only bilinear resize."""
+    from lseg_tpu.ops.pallas_correlation import (
+        head1_correlate_fused,
+        head1_correlate_wup_fused,
+    )
+    from lseg_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    n, h, w, c, e, k = 2, 8, 16, 32, 64, 7
+    xq = jnp.asarray(rng.randint(-127, 128, (n, h, w, c)), jnp.int8)
+    sx = jnp.float32(0.02)
+    w1q = jnp.asarray(rng.randint(-127, 128, (1, 1, c, e)), jnp.int8)
+    s1 = jnp.asarray(rng.rand(e).astype(np.float32) * 0.01 + 1e-3)
+    b1 = jnp.asarray(rng.randn(e).astype(np.float32) * 0.1)
+    txt = jnp.asarray(rng.randn(k, e).astype(np.float32))
+
+    half = head1_correlate_fused(xq, sx, w1q, s1, b1, txt)
+    want = np.asarray(resize_bilinear(
+        half, h, 2 * w, align_corners=True,
+        compute_dtype=jnp.bfloat16))
+    got = np.asarray(head1_correlate_wup_fused(
+        xq, sx, w1q, s1, b1, txt, rows=4))
+    assert got.shape == (n, h, 2 * w, k)
+    np.testing.assert_allclose(
+        got.astype(np.float32), want.astype(np.float32),
+        rtol=0.02, atol=0.02)

@@ -54,6 +54,14 @@ def parse_args():
                         "tanh GELU + bf16 head; see "
                         "lseg_tpu.config.fast_serving). Default is the "
                         "parity config.")
+    p.add_argument("--int8-cal", dest="int8_cal", type=int, default=0,
+                   metavar="N",
+                   help="with --fast --int8: additionally calibrate "
+                        "static activation scales on N val images "
+                        "(static PTQ, the bench.py serving config; "
+                        "removes the per-call max|x| passes). 0 = "
+                        "dynamic activation scales (data-safe "
+                        "default).")
     p.add_argument("--int8", action="store_true",
                    help="with --fast: static int8 projections + "
                         "decoder convs (load-time weight quantization "
@@ -121,10 +129,15 @@ def main():
         args.backbone, arch_option=args.arch_option,
         block_depth=args.block_depth, activation=args.activation,
     )
+    if args.int8_cal and not args.int8:
+        raise SystemExit("--int8-cal requires --fast --int8")
     if args.fast:
         from lseg_tpu.config import fast_serving
 
-        cfg = fast_serving(cfg, quant="static" if args.int8 else False)
+        quant = False
+        if args.int8:
+            quant = "static_cal" if args.int8_cal else "static"
+        cfg = fast_serving(cfg, quant=quant)
     elif args.int8:
         raise SystemExit("--int8 requires --fast")
     model = LSegNet(cfg, dtype=jnp.bfloat16)
@@ -133,8 +146,23 @@ def main():
         from lseg_tpu.ops.quant import quantize_tree
 
         variables = dict(variables)
-        variables["params"] = quantize_tree(variables["params"],
-                                            decoder=True)
+        variables["params"] = quantize_tree(
+            variables["params"], decoder=True,
+            act_scale=bool(args.int8_cal))
+    if args.int8_cal:
+        # static PTQ: fill the act_scale params from N val images at
+        # the crop shape (amaxes are shape-independent scalars)
+        from lseg_tpu.ops.quant import calibrate_act_scales
+
+        cal_ds = _make_dataset(
+            args.dataset, args.data_path, "val", "val",
+            args.base_size, args.crop_size,
+        )
+        m = min(args.int8_cal, len(cal_ds))
+        imgs = jnp.asarray(np.stack(
+            [cal_ds[j]["image"] for j in range(m)]))
+        print(f"calibrating int8 activation scales on {m} val images")
+        variables = calibrate_act_scales(model, variables, imgs, None)
     if args.export:
         from lseg_tpu.train.checkpoint import export_params
 

@@ -57,3 +57,22 @@ def test_hwc_input():
     got = np.asarray(resize_bilinear(jnp.asarray(x), 12, 12))
     want = _torch_resize(x[None], 12, 12, True)[0]
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_resize_order_wh_matches_hw():
+    """resize_bilinear(order='wh') is the same separable interp with
+    the W matmul applied first — equal to 'hw' up to fp rounding."""
+    import numpy as np
+
+    from lseg_tpu.ops.resize import resize_bilinear
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 7, 9, 5).astype(np.float32))
+    a = np.asarray(resize_bilinear(x, 13, 4, align_corners=True))
+    b = np.asarray(resize_bilinear(x, 13, 4, align_corners=True,
+                                   order="wh"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+    a = np.asarray(resize_bilinear(x, 14, 18, align_corners=False))
+    b = np.asarray(resize_bilinear(x, 14, 18, align_corners=False,
+                                   order="wh"))
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)

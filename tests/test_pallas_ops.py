@@ -370,3 +370,37 @@ def test_upsample2x_argmax_v2_matches_xla():
                                  interpret=True)
     agree_b = np.mean(np.asarray(got_b) == np.asarray(ref))
     assert agree_b >= 0.99, agree_b
+
+
+def test_head_wup_matches_head_fused_model():
+    """head_fused='wup' (in-kernel W-interp + XLA H-interp tail) must
+    match head_fused=True (kernel + full XLA x2 upsample) at the model
+    level — same params, full-res logits."""
+    import dataclasses
+
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg_f = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, quant_int8="static"),
+        decoder_quant="static", head_dtype="bfloat16", head_fused=True,
+    )
+    cfg_w = dataclasses.replace(cfg_f, head_fused="wup")
+    m_f = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    m_w = LSegNet(cfg_w, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, base.out_c).astype(np.float32))
+    v = LSegNet(base, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"], decoder=True)
+    a = np.asarray(m_f.apply(vq, x, txt), np.float32)
+    b = np.asarray(m_w.apply(vq, x, txt), np.float32)
+    assert b.shape == a.shape
+    # identical math, different interp order/rounding (bf16)
+    np.testing.assert_allclose(a, b, rtol=0.03, atol=0.03)
+    assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.98

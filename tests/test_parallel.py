@@ -82,7 +82,8 @@ def test_dryrun_multichip():
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    mod.dryrun_multichip(8)
+    # flagship AOT lowering is covered by tests/test_flagship_aot.py
+    mod.dryrun_multichip(8, flagship_aot=False)
 
 
 def test_sharded_tta_eval_matches_single_device():

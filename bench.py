@@ -133,9 +133,18 @@ def main() -> None:
         return dt
 
     def measure(pairs: int) -> float:
-        t1 = min(timed(1) for _ in range(pairs))
-        tn = min(timed(1 + iters) for _ in range(pairs))
-        return batch * iters / (tn - t1)
+        # the relay shows seconds-scale dispatch jitter; retry until
+        # the slope is sane (positive, plausible img/s) so a single
+        # slow round-trip can never become the emitted number
+        for _ in range(4):
+            t1 = min(timed(1) for _ in range(pairs))
+            tn = min(timed(1 + iters) for _ in range(pairs))
+            if tn > t1:
+                v = batch * iters / (tn - t1)
+                if 1.0 <= v <= 10000.0:
+                    return v
+            pairs = min(pairs + 1, 3)
+        raise RuntimeError("no sane slope after retries")
 
     try:
         timed(1)  # compile (one program serves every n)

@@ -140,7 +140,10 @@ class COCOSegmentation:
         kept: List[int] | None = None
         if (os.path.exists(cache)
                 and os.path.getmtime(cache) >= os.path.getmtime(ann_file)):
-            kept = [int(i) for i in np.load(cache)]
+            try:
+                kept = [int(i) for i in np.load(cache)]
+            except Exception:
+                kept = None  # truncated/corrupt sidecar: recompute
         if kept is None:
             kept = []
             for iid, anns in sorted(by_img.items()):
@@ -149,7 +152,12 @@ class COCOSegmentation:
                 if (mask > 0).sum() >= min_pixels:
                     kept.append(iid)
             try:
-                np.save(cache, np.asarray(kept, np.int64))
+                # atomic publish: concurrent constructors (multi-host
+                # ranks, xdist workers) and mid-write kills must never
+                # leave a half-written cache at the final path
+                tmp = f"{cache}.tmp{os.getpid()}.npy"
+                np.save(tmp, np.asarray(kept, np.int64))
+                os.replace(tmp, cache)
             except OSError:
                 pass  # read-only dataset dir: just skip the cache
         self.items = []

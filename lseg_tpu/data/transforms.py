@@ -162,8 +162,12 @@ class KeepAspectResize:
         (target - current) // 2, so an odd difference leaves the
         result one pixel short of the target — the reference quirk is
         kept exactly."""
-        top = (self.h - arr.shape[0]) // 2
-        left = (self.w - arr.shape[1]) // 2
+        # clamp at 0: with resize_method='lower_bound' the resized
+        # image EXCEEDS the target, so there is nothing to pad (the
+        # reference's cv2.copyMakeBorder would reject negative borders
+        # — letterbox is meant for the upper_bound/minimal methods)
+        top = max(0, (self.h - arr.shape[0]) // 2)
+        left = max(0, (self.w - arr.shape[1]) // 2)
         pad = [(top, top), (left, left)] + [(0, 0)] * (arr.ndim - 2)
         return np.pad(arr, pad, mode="constant")
 

@@ -54,16 +54,17 @@ class CSVLogger:
         self._f.flush()
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _jitted_train_step(ignore_index: int, accumulate: int):
     # cached per (ignore_index, accumulate): repeated fit() calls (the
     # resume path, tests) reuse one jitted callable, so XLA's trace
-    # cache hits instead of recompiling the step
+    # cache hits instead of recompiling the step. Bounded so long-lived
+    # sweep processes don't pin unboundedly many executables.
     return jax.jit(make_train_step(ignore_index, accumulate),
                    donate_argnums=(0,))
 
 
-@functools.lru_cache(maxsize=None)
+@functools.lru_cache(maxsize=8)
 def _jitted_eval_step(ignore_index: int):
     return jax.jit(make_eval_step(ignore_index))
 

@@ -142,3 +142,8 @@ def test_min_pixels_filter_is_cached(coco_tree):
     ds3 = COCOSegmentation(coco_tree, "val", mode="testval",
                            min_pixels=10)
     assert len(ds3) == 2 and len(ds2) == 1
+    # a truncated/corrupt sidecar must be recomputed, not crash
+    with open(sidecars[0], "wb") as f:
+        f.write(b"\x93NUMPY garbage")
+    ds4 = COCOSegmentation(coco_tree, "val", mode="testval")
+    assert len(ds4) == 1

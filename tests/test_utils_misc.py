@@ -61,6 +61,11 @@ def test_keep_aspect_resize_letterbox():
     if left:
         assert (out[:, :left] == 0).all()
     assert (out[top + 1, left + 1] != 0).any()
+    # lower_bound resizes PAST the target: letterbox must clamp the
+    # negative pad to zero instead of crashing
+    r2 = KeepAspectResize(480, 480, letter_box=True)
+    out2 = np.asarray(r2(img))
+    assert out2.shape[0] >= 480 and out2.shape[1] >= 480
 
 
 def test_cityscapes_protocol_plan():

@@ -341,13 +341,18 @@ class Attention(nn.Module):
             # A/B). Scores are fp32 in VMEM (never HBM), P@V in bf16.
             # Falls through to the XLA path when head_dim != 64
             # (ops/pallas_attention.py).
-            from lseg_tpu.ops.pallas_attention import flash_attention_flat
+            # _vjp variant: same forward kernel, plus a Pallas
+            # backward (scores recomputed in VMEM, no (T,T) HBM
+            # traffic) so flashflat is trainable; zero cost outside AD
+            from lseg_tpu.ops.pallas_attention import (
+                flash_attention_flat_vjp,
+            )
 
             qkv = _dense(3 * d, self.dtype, "qkv", self.quant)(x)
-            out = flash_attention_flat(qkv, h, scale,
-                                       block_q=self.block_q,
-                                       valid_len=self.valid_len,
-                                       variant=self.kernel_variant)
+            out = flash_attention_flat_vjp(qkv, h, scale,
+                                           self.block_q, None,
+                                           self.valid_len,
+                                           self.kernel_variant)
             return _dense(d, self.dtype, "proj", self.quant)(out)
         if self.impl == "flash2":
             # flat qkv matmul (fastest emitter) + explicit transposes to

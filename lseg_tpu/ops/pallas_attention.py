@@ -408,3 +408,135 @@ def flash_attention_qkvp_fused(
       sp.astype(jnp.float32).reshape(1, 1, d),
       bp.astype(jnp.float32).reshape(1, 1, d), resid)
     return out
+
+
+# ---------------------------------------------------------------------
+# Training support: custom VJP for the flat flash kernel.
+#
+# The reference trains its ViT with cuDNN attention; the XLA bwd here
+# materializes the (N, H, T, T) score/probability tensors in HBM three
+# more times. This backward kernel recomputes S = scale*QK^T per
+# (image, head-pair) grid step entirely in VMEM (T<=~1k fits: the
+# (T,T) fp32 score block is 3.3 MB at the 480-crop T=904) and emits
+# dQ/dK/dV without any (T,T) HBM traffic. Recomputing the softmax
+# stats (row max / sum) costs one extra VPU reduction and saves
+# persisting any per-row stats from the forward.
+#
+# Gradient correctness under sublane padding (valid_len): pad columns
+# get -inf scores -> P[:, pad] = 0 -> dV[pad] = dK[pad] = 0 exactly;
+# pad-row dO is zero (taps are sliced before any loss) so dQ[pad] = 0.
+# ---------------------------------------------------------------------
+
+
+def _bwd_kernel(q_ref, k_ref, v_ref, o_ref, do_ref,
+                dq_ref, dk_ref, dv_ref, *, scale, t_valid):
+    q2, k2, v2 = q_ref[0], k_ref[0], v_ref[0]      # (T, 128) bf16
+    o2, do2 = o_ref[0], do_ref[0]
+
+    dqs, dks, dvs = [], [], []
+    for h in (0, 1):
+        lo = h * _HD
+        qh = q2[:, lo: lo + _HD]
+        kh = k2[:, lo: lo + _HD]
+        vh = v2[:, lo: lo + _HD]
+        oh = o2[:, lo: lo + _HD].astype(jnp.float32)
+        doh = do2[:, lo: lo + _HD].astype(jnp.float32)
+
+        s = jax.lax.dot_general(
+            qh, kh, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale                                   # (T, T) fp32
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        pn = p / jnp.sum(p, axis=1, keepdims=True)  # (T, T) fp32
+
+        pnb = pn.astype(v2.dtype)
+        dv = jax.lax.dot_general(                   # P^T dO: (T, 64)
+            pnb, doh.astype(v2.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp = jax.lax.dot_general(                   # dO V^T: (T, T)
+            doh.astype(v2.dtype), vh,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        d_row = jnp.sum(doh * oh, axis=1, keepdims=True)  # (T, 1)
+        ds = (pn * (dp - d_row)).astype(v2.dtype)   # (T, T)
+        dq = jax.lax.dot_general(                   # dS K * scale
+            ds, kh, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dk = jax.lax.dot_general(                   # dS^T Q * scale
+            ds, qh, dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        dqs.append(dq)
+        dks.append(dk)
+        dvs.append(dv)
+
+    dq_ref[0] = jnp.concatenate(dqs, axis=1).astype(dq_ref.dtype)
+    dk_ref[0] = jnp.concatenate(dks, axis=1).astype(dk_ref.dtype)
+    dv_ref[0] = jnp.concatenate(dvs, axis=1).astype(dv_ref.dtype)
+
+
+def _flash_flat_bwd_impl(qkv, out, do, num_heads, scale, valid_len,
+                         interpret):
+    n, t, d3 = qkv.shape
+    d = d3 // 3
+    pairs = num_heads // 2
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    col = lambda off: pl.BlockSpec(
+        (1, t, 128), lambda ni, p: (ni, 0, off + p))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale,
+                          t_valid=valid_len or t),
+        grid=(n, pairs),
+        in_specs=[col(0), col(pairs), col(2 * pairs),
+                  pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p)),
+                  pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p))],
+        out_specs=[pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p))
+                   ] * 3,
+        out_shape=[jax.ShapeDtypeStruct((n, t, d), qkv.dtype)] * 3,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(qkv, qkv, qkv, out, do)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4, 5, 6))
+def flash_attention_flat_vjp(qkv, num_heads, scale, block_q=256,
+                             interpret=None, valid_len=None,
+                             variant="v1"):
+    """flash_attention_flat with a Pallas backward — drop-in for the
+    forward-only kernel wherever gradients may flow (training with
+    attn_impl='flashflat'). Inference cost is identical (the residual
+    save is DCE'd outside AD)."""
+    return flash_attention_flat(qkv, num_heads, scale, block_q,
+                                interpret, valid_len, variant)
+
+
+def _flash_flat_fwd(qkv, num_heads, scale, block_q, interpret,
+                    valid_len, variant):
+    out = flash_attention_flat(qkv, num_heads, scale, block_q,
+                               interpret, valid_len, variant)
+    return out, (qkv, out)
+
+
+def _flash_flat_bwd(num_heads, scale, block_q, interpret, valid_len,
+                    variant, res, do):
+    qkv, out = res
+    dqkv = _flash_flat_bwd_impl(qkv, out, do.astype(qkv.dtype),
+                                num_heads, scale, valid_len, interpret)
+    return (dqkv,)
+
+
+flash_attention_flat_vjp.defvjp(_flash_flat_fwd, _flash_flat_bwd)

@@ -6,9 +6,15 @@ Variants are remat policies for the scanned ViT blocks:
   dots  — jax.checkpoint_policies.dots_with_no_batch_dims_saveable
           (keep matmul outputs, recompute only elementwise chains)
   none  — no remat (reference point; may OOM at batch 8 on one chip)
+  flash — full remat + attn_impl='flashflat' with the Pallas custom
+          VJP (ops/pallas_attention.flash_attention_flat_vjp): the
+          XLA backward materializes the (N,H,T,T) score tensor in HBM
+          (~418 MB at batch 8 flagship) several times; the kernel
+          recomputes scores in VMEM both directions.
+  flashdots — flash + the dots remat policy.
 
 Usage: python scripts/train_ab.py [--batch=8] [--iters=4] [--reps=2]
-       [--variants=full,dots]
+       [--variants=full,flash]
 """
 from __future__ import annotations
 
@@ -32,10 +38,16 @@ from lseg_tpu.train.state import create_train_state
 from lseg_tpu.train.step import make_train_step
 
 POLICIES = {
-    "full": (True, None),
+    "full": (True, None, None),
     "dots": (True,
-             jax.checkpoint_policies.dots_with_no_batch_dims_saveable),
-    "none": (False, None),
+             jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+             None),
+    "none": (False, None, None),
+    "flash": (True, None, "flashflat"),
+    "flashdots": (
+        True,
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        "flashflat"),
 }
 
 
@@ -62,8 +74,13 @@ def main() -> None:
 
     runners = {}
     for name in names:
-        remat, policy = POLICIES[name]
-        model = LSegNet(cfg, dtype=jnp.bfloat16, remat=remat,
+        remat, policy, attn = POLICIES[name]
+        vcfg = cfg
+        if attn is not None:
+            import dataclasses
+            vcfg = dataclasses.replace(
+                cfg, vit=dataclasses.replace(cfg.vit, attn_impl=attn))
+        model = LSegNet(vcfg, dtype=jnp.bfloat16, remat=remat,
                         remat_policy=policy)
         v = jax.jit(model.init)(key, x1, txt)
         tx = make_optimizer(base_lr=0.004, max_steps=24000)

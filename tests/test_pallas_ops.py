@@ -404,3 +404,44 @@ def test_head_wup_matches_head_fused_model():
     # identical math, different interp order/rounding (bf16)
     np.testing.assert_allclose(a, b, rtol=0.03, atol=0.03)
     assert (a.argmax(-1) == b.argmax(-1)).mean() > 0.98
+
+
+def test_flashflat_vjp_grads_match_xla_attention():
+    """flash_attention_flat_vjp (Pallas backward) must produce the
+    same model gradients as the XLA attention path, including under
+    sublane padding (pad rows carry exactly zero grad)."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg_x = dc.replace(
+        base, vit=dc.replace(base.vit, embed_dim=128, num_heads=2))
+    cfg_f = dc.replace(
+        cfg_x, vit=dc.replace(cfg_x.vit, attn_impl="flashflat"))
+    m_x = LSegNet(cfg_x)
+    m_f = LSegNet(cfg_f)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, cfg_x.out_c).astype(np.float32))
+    v = m_x.init(jax.random.PRNGKey(0), x, txt, train=True)
+
+    def loss(model):
+        def f(params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, txt, train=True, mutable=["batch_stats"])
+            return jnp.sum(out * out) * 1e-3
+        return f
+
+    gx = jax.grad(loss(m_x))(v["params"])
+    gf = jax.grad(loss(m_f))(v["params"])
+    flat_x = jax.tree_util.tree_leaves_with_path(gx)
+    flat_f = {jax.tree_util.keystr(p): l
+              for p, l in jax.tree_util.tree_leaves_with_path(gf)}
+    for path, lx in flat_x:
+        lf = flat_f[jax.tree_util.keystr(path)]
+        np.testing.assert_allclose(
+            np.asarray(lx), np.asarray(lf), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path))

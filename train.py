@@ -74,6 +74,14 @@ def parse_args():
                    help="precomputed (K, C) .npy label embeddings")
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
+    p.add_argument("--flash-attn", dest="flash_attn",
+                   action="store_true",
+                   help="train with the flat-layout Pallas flash "
+                        "attention kernel (custom VJP: scores stay in "
+                        "VMEM both directions; grads match the XLA "
+                        "path, tests/test_pallas_ops.py). Requires "
+                        "head_dim 64 / even heads; falls back to XLA "
+                        "otherwise.")
     return p.parse_args()
 
 
@@ -139,6 +147,8 @@ def get_text_features(args, cfg, labels):
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     if args.base_size is None:
         args.base_size = 2048 if args.dataset == "citys" else 520
     if args.crop_size is None:
@@ -176,6 +186,20 @@ def main():
             arch_option=args.arch_option, block_depth=args.block_depth,
             activation=args.activation, use_bn=not args.no_batchnorm,
         )
+
+    if args.flash_attn and cfg.vit is not None:
+        import dataclasses
+
+        from lseg_tpu.models.vit import flat_flash_eligible
+
+        if flat_flash_eligible(cfg.vit.embed_dim, cfg.vit.num_heads,
+                               cfg.vit.tp_layout):
+            cfg = dataclasses.replace(
+                cfg, vit=dataclasses.replace(cfg.vit,
+                                             attn_impl="flashflat"))
+        else:
+            print("--flash-attn: backbone not eligible "
+                  "(head_dim != 64 or odd heads); keeping XLA")
 
     dtype = jnp.bfloat16 if args.dtype == "bfloat16" else jnp.float32
     model = LSegNet(cfg, dtype=dtype, remat=True)

@@ -59,6 +59,8 @@ def load(weights: str, bpe_vocab: str, backbone: str):
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     st.title("LSeg-TPU — language-driven segmentation")
     model, variables, cache, predictor, logits_fn = load(
         args.weights, args.bpe_vocab, args.backbone

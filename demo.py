@@ -44,6 +44,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     import jax.numpy as jnp
 
     from lseg_tpu.config import fast_serving, get_config

@@ -107,6 +107,8 @@ def _make_dataset(name, data_path, split, mode, base_size, crop_size):
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     base_d, crop_d, scales_d = _DATASET_DEFAULTS[args.dataset]
     if args.base_size is None:
         args.base_size = base_d

@@ -87,6 +87,8 @@ def episodes(args, split):
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     from lseg_tpu.models.hsnet import predict_mask_nshot
     from lseg_tpu.ops.losses import cross_entropy
     from lseg_tpu.ops.metrics import AverageMeter, episode_inter_union

@@ -50,6 +50,8 @@ def parse_args():
 
 def main():
     args = parse_args()
+    from lseg_tpu.utils.platform import apply_platform_env
+    apply_platform_env()  # make JAX_PLATFORMS=cpu invocations real
     from lseg_tpu.config import get_config
     from lseg_tpu.data.fewshot import build_fewshot_dataset
     from lseg_tpu.data.labels import get_labels

@@ -147,6 +147,12 @@ class LSegConfig:
     # embedding map never hits HBM). Needs decoder_quant static* and
     # head_dtype bfloat16; falls back otherwise.
     head_fused: bool = False
+    # fused upsample2x + quantize + 1x1 out_conv Pallas kernel for the
+    # FeatureFusionBlock tails (ops/pallas_decoder). Serving knob:
+    # requires decoder_quant='static_cal' (the quantize grid must be a
+    # calibrated constant); at refinenet1 it also hands the fused head
+    # its int8 input directly. Ineligible shapes fall back per block.
+    decoder_fused_tail: bool = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32

@@ -214,17 +214,29 @@ class FeatureFusionBlock(nn.Module):
     """RefineNet-style fusion: (+RCU1(skip)) -> RCU2 -> ×2 bilinear
     (align_corners=True) -> 1×1 out_conv
     (reference: lseg_blocks.py:293-358, _make_fusion_block lseg_net.py:94).
+
+    `tail_fused=True` (serving, quant='static_cal' only) collapses the
+    upsample -> quantize -> out_conv tail into one Pallas kernel
+    (`ops/pallas_decoder.fused_upsample_outconv`) — at the refinenet1
+    flagship shape that chain round-trips ~710 MB of HBM between two
+    matmuls. With `out_int8_scale` set (the downstream consumer's
+    calibrated activation scale) the block returns the consumer-ready
+    int8 tensor instead of bf16 (callers detect this by dtype). During
+    activation-scale calibration (`mutable=['quant_cal']`) the unfused
+    path runs so `out_conv` sows its input amax.
     """
 
     features: int
     use_bn: bool = True
     dtype: Any = jnp.float32
     quant: Any = False
+    tail_fused: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, skip: jnp.ndarray | None = None,
         train: bool = False,
+        out_int8_scale: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
         if skip is not None:
             x = x + ResidualConvUnit(
@@ -235,6 +247,27 @@ class FeatureFusionBlock(nn.Module):
             self.features, self.use_bn, self.dtype, self.quant,
             name="rcu2"
         )(x, train)
+
+        if (self.tail_fused and self.quant == "static_cal"
+                and not self.is_mutable_collection("quant_cal")):
+            from lseg_tpu.ops.pallas_decoder import (
+                fused_upsample_outconv,
+                tail_fusable,
+            )
+            n, h, w, c = x.shape
+            if tail_fusable(h, w, c, self.features):
+                from lseg_tpu.ops.quant import QConvParams
+                kq, sw, b, act = QConvParams(
+                    self.features, (1, 1), use_bias=True,
+                    static_act=True, name="out_conv",
+                )(c)
+                return fused_upsample_outconv(
+                    x, kq, sw, b, act / 127.0,
+                    out_scale=(None if out_int8_scale is None
+                               else out_int8_scale),
+                    out_int8=out_int8_scale is not None,
+                )
+
         # the int8 serving decoder also runs the x2 bilinear in module
         # dtype (halves its streams); the parity path keeps fp32
         x = upsample2x(x, align_corners=True,

@@ -117,18 +117,19 @@ class LSegNet(nn.Module):
                      quant=cfg.decoder_quant, name="scratch")(layers)
 
         q = cfg.decoder_quant
+        tails = cfg.decoder_fused_tail
         path4 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, name="refinenet4"
+            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            name="refinenet4"
         )(rn[3], None, train)
         path3 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, name="refinenet3"
+            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            name="refinenet3"
         )(path4, rn[2], train)
         path2 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, name="refinenet2"
+            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            name="refinenet2"
         )(path3, rn[1], train)
-        path1 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, name="refinenet1"
-        )(path2, rn[0], train)
 
         use_head_fused = (
             cfg.head_fused and q in ("static", "static_cal")
@@ -137,6 +138,21 @@ class LSegNet(nn.Module):
             and not self.emulate_fp16
             and text_features is not None
         )
+        head_sc = None
+        if use_head_fused and q == "static_cal":
+            # declare head1's params up front so refinenet1's fused
+            # tail can emit int8 directly on head1's calibrated grid
+            # (param tree is name-keyed; declaration order is free)
+            kq, s1, b1, act_sc = _Head1Params(
+                cfg.out_c, static_act=True, name="head1"
+            )(cfg.features)
+            head_sc = act_sc / 127.0
+
+        path1 = FeatureFusionBlock(
+            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            name="refinenet1"
+        )(path2, rn[0], train, out_int8_scale=head_sc)
+
         if use_head_fused:
             # int8 head1 projection + deferred-norm correlation in one
             # Pallas kernel — the pixel-embedding map never exists in
@@ -148,10 +164,15 @@ class LSegNet(nn.Module):
             )
             from lseg_tpu.ops.quant import quantize_tensor
 
-            kq, s1, b1, act_sc = _Head1Params(
-                cfg.out_c, static_act=q == "static_cal", name="head1"
-            )(path1.shape[-1])
-            if act_sc is not None:
+            if head_sc is None:
+                kq, s1, b1, act_sc = _Head1Params(
+                    cfg.out_c, static_act=False, name="head1"
+                )(path1.shape[-1])
+            if path1.dtype == jnp.int8:
+                # refinenet1's fused tail already quantized on head1's
+                # calibrated grid
+                xq8, sxs = path1, head_sc
+            elif act_sc is not None:
                 sxs = act_sc / 127.0
                 xq8 = jnp.clip(
                     jnp.round(path1.astype(jnp.float32) / sxs),

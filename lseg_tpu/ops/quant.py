@@ -352,3 +352,30 @@ def calibrate_act_scales(model, variables, *apply_args, **apply_kw):
     new = dict(variables)
     new["params"] = rec(variables["params"], cal)
     return new
+
+
+class QConvParams(nn.Module):
+    """Declares a StaticQuantConv-compatible param set (kernel_q, scale
+    [, bias][, act_scale]) WITHOUT running the conv — for fused Pallas
+    kernels that consume the raw params (the fused serving head and the
+    fused decoder tail). Named identically to the conv it replaces so
+    the serving tree is unchanged."""
+
+    features: int
+    kernel_size: tuple = (1, 1)
+    use_bias: bool = True
+    static_act: bool = False
+
+    @nn.compact
+    def __call__(self, cin: int):
+        kh, kw = self.kernel_size
+        kq = self.param("kernel_q", nn.initializers.zeros,
+                        (kh, kw, cin, self.features), jnp.int8)
+        sw = self.param("scale", nn.initializers.ones,
+                        (self.features,), jnp.float32)
+        b = (self.param("bias", nn.initializers.zeros,
+                        (self.features,), jnp.float32)
+             if self.use_bias else None)
+        act = (self.param("act_scale", nn.initializers.ones, (),
+                          jnp.float32) if self.static_act else None)
+        return kq, sw, b, act

@@ -199,6 +199,13 @@ def _prep_int8_cal_sscan(v):
     return calibrate_act_scales(model, vv, x, None)
 
 
+def _cfg_int8_tails():
+    # fused upsample+quantize+out_conv decoder tails + int8 handoff to
+    # the fused head (ops/pallas_decoder.fused_upsample_outconv)
+    return dataclasses.replace(_cfg_int8_headf(),
+                               decoder_fused_tail=True)
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -336,6 +343,7 @@ VARIANTS = {
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
+    "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
     "int8_tailv2": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
                        fwd_fn=_fwd_headf_tailv2),
     "int8_tailwh": _mk(_cfg_int8_headf, prep=_prep_int8_cal,

@@ -445,3 +445,88 @@ def test_flashflat_vjp_grads_match_xla_attention():
         np.testing.assert_allclose(
             np.asarray(lx), np.asarray(lf), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path))
+
+
+def test_fused_upsample_outconv_matches_xla_chain():
+    """fused_upsample_outconv == upsample2x(bf16) -> quantize ->
+    int8 1x1 conv, across multi-band grids (halo rows) and both output
+    modes (bf16 / consumer-grid int8)."""
+    from lseg_tpu.ops.pallas_decoder import (
+        fused_upsample_outconv,
+        tail_fusable,
+    )
+    from lseg_tpu.ops.quant import int8_conv_prequant
+
+    rng = np.random.RandomState(1)
+    n, h, w, c, co = 2, 20, 16, 128, 128
+    assert tail_fusable(h, w, c, co)
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
+    wq = jnp.asarray(
+        rng.randint(-127, 128, (1, 1, c, co)), jnp.int8)
+    sw = jnp.asarray(rng.rand(co) * 0.01 + 1e-3, jnp.float32)
+    b = jnp.asarray(rng.randn(co) * 0.1, jnp.float32)
+    s_in = jnp.float32(float(jnp.max(jnp.abs(
+        x.astype(jnp.float32)))) / 127.0)
+
+    # reference XLA chain (the current decoder_quant='static_cal' path)
+    u = upsample2x(x, align_corners=True, compute_dtype=jnp.bfloat16)
+    ref = int8_conv_prequant(
+        u, wq, sw, padding=((0, 0), (0, 0)), out_dtype=jnp.bfloat16,
+        act_scale=s_in)
+
+    got = fused_upsample_outconv(x, wq, sw, b * 0, s_in,
+                                 interpret=True)
+    assert got.shape == (n, 2 * h, 2 * w, co) and got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.05)
+
+    # bias + int8 emission on the consumer grid
+    s_out = jnp.float32(
+        float(jnp.max(jnp.abs(ref.astype(jnp.float32)
+                              + b.astype(jnp.float32)))) / 127.0)
+    got8 = fused_upsample_outconv(x, wq, sw, b, s_in, out_scale=s_out,
+                                  out_int8=True, interpret=True)
+    ref8 = jnp.clip(jnp.round(
+        (ref.astype(jnp.float32) + b.astype(jnp.float32)) / s_out),
+        -127, 127).astype(jnp.int8)
+    assert got8.dtype == jnp.int8
+    agree = (np.asarray(got8) == np.asarray(ref8)).mean()
+    assert agree > 0.98, agree  # off-by-one rounding at bin edges only
+
+
+def test_decoder_fused_tail_model_parity():
+    """decoder_fused_tail=True (fused upsample+quantize+out_conv Pallas
+    tails + int8 handoff to the fused head) matches the XLA
+    static_cal decoder on a tiny shape-eligible model."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import calibrate_act_scales, quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config(
+        features=128, out_c=128, head_dtype="bfloat16",
+        decoder_quant="static_cal", head_fused=True)
+    cfg_a = base
+    cfg_b = dc.replace(base, decoder_fused_tail=True)
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(5, base.out_c).astype(np.float32))
+
+    m_a = LSegNet(cfg_a, dtype=jnp.bfloat16)
+    m_b = LSegNet(cfg_b, dtype=jnp.bfloat16)
+    v = m_a.init(jax.random.PRNGKey(0), x, txt)
+    v = dict(v)
+    v["params"] = quantize_tree(v["params"], leaves=set(),
+                                decoder=True, act_scale=True)
+    v = calibrate_act_scales(m_a, v, x, None)
+
+    out_a = np.asarray(m_a.apply(v, x, txt), np.float32)
+    out_b = np.asarray(m_b.apply(v, x, txt), np.float32)
+    assert out_a.shape == out_b.shape
+    # int8 bin-edge flips at the tail handoff bound the drift
+    agree = (out_a.argmax(-1) == out_b.argmax(-1)).mean()
+    assert agree > 0.97, agree
+    np.testing.assert_allclose(out_a, out_b, rtol=0.1, atol=0.1)

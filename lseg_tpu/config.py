@@ -153,6 +153,11 @@ class LSegConfig:
     # calibrated constant); at refinenet1 it also hands the fused head
     # its int8 input directly. Ineligible shapes fall back per block.
     decoder_fused_tail: bool = False
+    # fully fused int8 ResidualConvUnit Pallas kernel (relu+quantize+
+    # conv1+BN+relu+quantize+conv2+BN+residual in VMEM; ~470 MB of HBM
+    # round-trips per RCU at the refinenet1 shape on the XLA chain).
+    # Serving knob, static_cal only, per-shape fallback.
+    decoder_fused_rcu: bool = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32

@@ -176,17 +176,80 @@ class Reassemble(nn.Module):
         return x
 
 
+class _BNStats(nn.Module):
+    """Declares an nn.BatchNorm-compatible variable set (params
+    scale/bias + batch_stats mean/var) without running the norm — the
+    fused RCU kernel folds the eval-mode affine into its dequant
+    epilogue. Named identically to the BatchNorm it mirrors."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones,
+                       (self.features,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+        mean = self.variable(
+            "batch_stats", "mean",
+            lambda: jnp.zeros((self.features,), jnp.float32))
+        var = self.variable(
+            "batch_stats", "var",
+            lambda: jnp.ones((self.features,), jnp.float32))
+        return g, b, mean.value, var.value
+
+
 class ResidualConvUnit(nn.Module):
     """RCU: relu -> 3×3 conv -> [BN] -> relu -> 3×3 conv -> [BN], + residual
-    (reference: lseg_blocks.py:222-290). Conv bias only when BN is off."""
+    (reference: lseg_blocks.py:222-290). Conv bias only when BN is off.
+
+    `fused=True` (serving, quant='static_cal') runs the whole unit as
+    one Pallas kernel (`ops/pallas_qconv.fused_rcu`): int8 convs with
+    in-VMEM quantize and the BN affines folded into the dequant
+    epilogues — the XLA chain's ~470 MB of HBM round-trips per RCU at
+    the refinenet1 shape become one read + one write of x. Falls back
+    per shape; calibration passes use the unfused path so the convs
+    sow their activation amaxes."""
 
     features: int
     use_bn: bool = True
     dtype: Any = jnp.float32
     quant: Any = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if (self.fused and self.quant == "static_cal" and not train
+                and not self.is_mutable_collection("quant_cal")):
+            from lseg_tpu.ops.pallas_qconv import (
+                fold_bn_affine,
+                fused_rcu,
+                rcu_fusable,
+            )
+            n, hh, ww, cc = x.shape
+            if rcu_fusable(hh, ww, cc) and cc == self.features:
+                from lseg_tpu.ops.quant import QConvParams
+                k1, sw1, b1, a1 = QConvParams(
+                    self.features, (3, 3), use_bias=not self.use_bn,
+                    static_act=True, name="conv1")(cc)
+                k2, sw2, b2, a2 = QConvParams(
+                    self.features, (3, 3), use_bias=not self.use_bn,
+                    static_act=True, name="conv2")(cc)
+                if self.use_bn:
+                    g1, be1, m1, v1 = _BNStats(self.features,
+                                               name="bn1")()
+                    g2, be2, m2, v2 = _BNStats(self.features,
+                                               name="bn2")()
+                else:
+                    g1 = be1 = m1 = v1 = None
+                    g2 = be2 = m2 = v2 = None
+                d1, e1 = fold_bn_affine(a1 / 127.0, sw1, g1, be1, m1,
+                                        v1, conv_bias=b1)
+                d2, e2 = fold_bn_affine(a2 / 127.0, sw2, g2, be2, m2,
+                                        v2, conv_bias=b2)
+                return fused_rcu(x, k1, d1, e1, 127.0 / a1,
+                                 k2, d2, e2, 127.0 / a2)
+
         out = jax.nn.relu(x)
         out = _conv(
             self.features, (3, 3), self.quant, self.dtype, "conv1",
@@ -231,6 +294,7 @@ class FeatureFusionBlock(nn.Module):
     dtype: Any = jnp.float32
     quant: Any = False
     tail_fused: bool = False
+    rcu_fused: bool = False
 
     @nn.compact
     def __call__(
@@ -241,11 +305,11 @@ class FeatureFusionBlock(nn.Module):
         if skip is not None:
             x = x + ResidualConvUnit(
                 self.features, self.use_bn, self.dtype, self.quant,
-                name="rcu1"
+                self.rcu_fused, name="rcu1"
             )(skip, train)
         x = ResidualConvUnit(
             self.features, self.use_bn, self.dtype, self.quant,
-            name="rcu2"
+            self.rcu_fused, name="rcu2"
         )(x, train)
 
         if (self.tail_fused and self.quant == "static_cal"

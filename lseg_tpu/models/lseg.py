@@ -118,16 +118,17 @@ class LSegNet(nn.Module):
 
         q = cfg.decoder_quant
         tails = cfg.decoder_fused_tail
+        frcu = cfg.decoder_fused_rcu
         path4 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
             name="refinenet4"
         )(rn[3], None, train)
         path3 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
             name="refinenet3"
         )(path4, rn[2], train)
         path2 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
             name="refinenet2"
         )(path3, rn[1], train)
 
@@ -149,7 +150,7 @@ class LSegNet(nn.Module):
             head_sc = act_sc / 127.0
 
         path1 = FeatureFusionBlock(
-            cfg.features, cfg.use_bn, self.dtype, q, tails,
+            cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
             name="refinenet1"
         )(path2, rn[0], train, out_int8_scale=head_sc)
 

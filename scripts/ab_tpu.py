@@ -206,6 +206,18 @@ def _cfg_int8_tails():
                                decoder_fused_tail=True)
 
 
+def _cfg_int8_frcu():
+    # fused int8 RCU kernels on top of the fused tails
+    return dataclasses.replace(_cfg_int8_tails(),
+                               decoder_fused_rcu=True)
+
+
+def _cfg_int8_frcu_only():
+    # fused RCUs alone (isolate the two decoder kernels' contributions)
+    return dataclasses.replace(_cfg_int8_headf(),
+                               decoder_fused_rcu=True)
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -344,6 +356,8 @@ VARIANTS = {
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
+    "int8_frcu": _mk(_cfg_int8_frcu, prep=_prep_int8_cal),
+    "int8_frcuonly": _mk(_cfg_int8_frcu_only, prep=_prep_int8_cal),
     "int8_tailv2": _mk(_cfg_int8_headf, prep=_prep_int8_cal,
                        fwd_fn=_fwd_headf_tailv2),
     "int8_tailwh": _mk(_cfg_int8_headf, prep=_prep_int8_cal,

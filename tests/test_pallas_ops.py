@@ -530,3 +530,65 @@ def test_decoder_fused_tail_model_parity():
     agree = (out_a.argmax(-1) == out_b.argmax(-1)).mean()
     assert agree > 0.97, agree
     np.testing.assert_allclose(out_a, out_b, rtol=0.1, atol=0.1)
+
+    # + fused RCU kernels (BN affines folded into dequant epilogues)
+    cfg_c = dc.replace(base, decoder_fused_tail=True,
+                       decoder_fused_rcu=True)
+    m_c = LSegNet(cfg_c, dtype=jnp.bfloat16)
+    out_c = np.asarray(m_c.apply(v, x, txt), np.float32)
+    agree_c = (out_a.argmax(-1) == out_c.argmax(-1)).mean()
+    assert agree_c > 0.97, agree_c
+    np.testing.assert_allclose(out_a, out_c, rtol=0.12, atol=0.12)
+
+
+def test_fused_rcu_matches_int8_chain():
+    """fused_rcu == relu -> q(s1) -> conv1 -> bn1 -> relu -> q(s2) ->
+    conv2 -> bn2 -> +x with calibrated static scales (the XLA
+    static_cal RCU), including multi-band halos and image-edge zero
+    padding."""
+    from lseg_tpu.ops.pallas_qconv import fold_bn_affine, fused_rcu
+    from lseg_tpu.ops.quant import int8_conv_prequant
+
+    rng = np.random.RandomState(7)
+    n, h, w, c = 2, 16, 16, 128
+    x = jnp.asarray(rng.randn(n, h, w, c), jnp.bfloat16)
+    w1 = jnp.asarray(rng.randint(-127, 128, (3, 3, c, c)), jnp.int8)
+    w2 = jnp.asarray(rng.randint(-127, 128, (3, 3, c, c)), jnp.int8)
+    sw1 = jnp.asarray(rng.rand(c) * 2e-3 + 1e-4, jnp.float32)
+    sw2 = jnp.asarray(rng.rand(c) * 2e-3 + 1e-4, jnp.float32)
+    bn = lambda: (jnp.asarray(rng.rand(c) + 0.5, jnp.float32),
+                  jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                  jnp.asarray(rng.randn(c) * 0.1, jnp.float32),
+                  jnp.asarray(rng.rand(c) + 0.5, jnp.float32))
+    g1, b1, m1, v1 = bn()
+    g2, b2, m2, v2 = bn()
+
+    s1 = jnp.float32(float(jnp.max(jnp.abs(
+        jnp.maximum(x.astype(jnp.float32), 0)))) / 127.0)
+
+    def bn_aff(y, g, bta, m, vv):
+        a = g * jax.lax.rsqrt(vv + 1e-5)
+        return y.astype(jnp.float32) * a + (bta - m * a)
+
+    # reference chain (fp32 elementwise, int8 convs — the kernel's own
+    # arithmetic order; the model-level bf16 drift is covered by the
+    # decoder parity test)
+    h1 = int8_conv_prequant(
+        jnp.maximum(x.astype(jnp.float32), 0), w1, sw1,
+        padding=((1, 1), (1, 1)), out_dtype=jnp.float32, act_scale=s1)
+    h1 = jnp.maximum(bn_aff(h1, g1, b1, m1, v1), 0)
+    s2 = jnp.float32(float(jnp.max(jnp.abs(h1))) / 127.0)
+    h2 = int8_conv_prequant(
+        h1, w2, sw2, padding=((1, 1), (1, 1)),
+        out_dtype=jnp.float32, act_scale=s2)
+    ref = (bn_aff(h2, g2, b2, m2, v2)
+           + x.astype(jnp.float32)).astype(jnp.bfloat16)
+
+    d1, e1 = fold_bn_affine(s1, sw1, g1, b1, m1, v1)
+    d2, e2 = fold_bn_affine(s2, sw2, g2, b2, m2, v2)
+    got = fused_rcu(x, w1, d1, e1, 1.0 / s1, w2, d2, e2, 1.0 / s2,
+                    rows=8, interpret=True)
+    assert got.dtype == ref.dtype
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        rtol=0.02, atol=0.05)

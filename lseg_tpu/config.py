@@ -39,8 +39,14 @@ class ViTConfig:
     # Native pretraining grid (384/patch); pos-embed is bilinearly resized
     # from this grid to the runtime grid (reference: lseg_vit.py:149-163).
     pretrain_grid: int = 24
-    # attention implementation: 'xla' einsums or 'flash' (Pallas TPU
-    # flash-attention kernel; identical math, VMEM-tiled softmax)
+    # attention implementation: 'xla' einsums (default), 'flash'
+    # (heads-major Pallas kernel), 'flashflat' (flat-layout Pallas
+    # kernel, zero layout transitions), 'flashq' (int8 qkv projection
+    # fused into the flat kernel; needs quant_int8='static'),
+    # 'flashlnq' (flashq + LayerNorm and per-row int8 quantize fused
+    # in too — LN output never in HBM), 'flashqp'/'flash2'/'dpa'
+    # (measured dead ends kept as infrastructure). Ineligible shapes
+    # (head_dim != 64, odd head count, tp_layout) fall back safely.
     attn_impl: str = "xla"
     # 'float32' (safe default) or 'bfloat16' — dtype of the attention
     # score matrix; bf16 halves its HBM stream

@@ -241,6 +241,23 @@ class _MLPStaticParams(nn.Module):
         return w1, w2
 
 
+class _LNParams(nn.Module):
+    """Declares the LayerNorm (scale, bias) pair without applying the
+    norm — the LN-fused flash kernel (attn_impl='flashlnq') consumes
+    the raw params. Param names/shapes/dtype match nn.LayerNorm so the
+    tree is identical to the unfused path."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        g = self.param("scale", nn.initializers.ones,
+                       (self.dim,), jnp.float32)
+        b = self.param("bias", nn.initializers.zeros,
+                       (self.dim,), jnp.float32)
+        return g, b
+
+
 class Attention(nn.Module):
     """Standard ViT multi-head self-attention (timm Block.attn semantics:
     fused qkv projection with bias, scale = head_dim**-0.5).
@@ -271,12 +288,30 @@ class Attention(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
-                 resid: jnp.ndarray = None) -> jnp.ndarray:
+                 resid: jnp.ndarray = None,
+                 ln: Any = None) -> jnp.ndarray:
         n, t, d = x.shape
         h = self.num_heads
         hd = d // h
         scale = hd ** -0.5
         flat_ok = flat_flash_eligible(d, h, self.tp_layout)
+        if (self.impl == "flashlnq" and flat_ok
+                and self.quant == "static" and ln is not None):
+            # LayerNorm + per-row int8 quantize + int8 qkv projection +
+            # flash attention in ONE kernel: `x` here is the RAW
+            # residual stream; the LN output and its int8 copy never
+            # exist in HBM, and no standalone LN op remains in the scan
+            # body for XLA to peel (ops/pallas_attention.py).
+            from lseg_tpu.ops.pallas_attention import (
+                flash_attention_ln_qkv_fused,
+            )
+
+            g, bln = ln
+            kq, sw, b = _StaticDenseParams(3 * d, name="qkv")(d)
+            out = flash_attention_ln_qkv_fused(
+                x.astype(jnp.bfloat16), g, bln, kq, sw, b, h, scale,
+                valid_len=self.valid_len)
+            return _dense(d, self.dtype, "proj", self.quant)(out)
         if (self.impl == "flashqp" and flat_ok
                 and self.quant == "static" and resid is not None):
             # whole attention half-block in one kernel: int8 qkv ->
@@ -316,7 +351,7 @@ class Attention(nn.Module):
                 qkv[0], qkv[1], qkv[2], scale, self.dtype
             )
             return _ProjHeadsMajor(d, h, self.dtype, name="proj")(out)
-        if (self.impl in ("flashq", "flashqp") and flat_ok
+        if (self.impl in ("flashq", "flashqp", "flashlnq") and flat_ok
                 and self.quant == "static"):
             # int8 qkv projection fused INTO the flash kernel: consumes
             # the per-row int8-quantized LN output; the (N, T, 3D) qkv
@@ -332,7 +367,7 @@ class Attention(nn.Module):
             out = flash_attention_qkv_fused(
                 xq, sx, kq, sw, b, h, scale, valid_len=self.valid_len)
             return _dense(d, self.dtype, "proj", self.quant)(out)
-        if (self.impl in ("flashflat", "flashq", "flashqp")
+        if (self.impl in ("flashflat", "flashq", "flashqp", "flashlnq")
                 and flat_ok):
             # custom flat-layout flash kernel: consumes the fused qkv
             # matmul's native (N, T, 3D) output and emits flat (N, T, D)
@@ -436,7 +471,6 @@ class Block(nn.Module):
         n, t, d = x.shape
         hidden = int(self.dim * self.mlp_ratio)
         x2 = x.reshape(n * t, d)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm1")(x2)
         attn = Attention(self.dim, self.num_heads, self.dtype,
                          self.attn_impl, self.attn_scores_dtype,
                          self.quant, self.tp_layout, self.block_q,
@@ -444,12 +478,24 @@ class Block(nn.Module):
                          name="attn")
         flat_ok = flat_flash_eligible(
             self.dim, self.num_heads, self.tp_layout)
-        if (self.attn_impl == "flashqp" and self.quant == "static"
+        if (self.attn_impl == "flashlnq" and self.quant == "static"
                 and flat_ok):
+            # LN1 lives INSIDE the fused kernel: declare its params
+            # (same tree as nn.LayerNorm) and hand the raw residual
+            # stream to attention
+            g, bln = _LNParams(d, name="norm1")()
+            a = attn(x2.reshape(n, t, d), ln=(g, bln))
+            x2 = x2 + a.reshape(n * t, d)
+        elif (self.attn_impl == "flashqp" and self.quant == "static"
+                and flat_ok):
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm1")(x2)
             # fused kernel returns resid + proj(attn(...)) directly
             x2 = attn(y.reshape(n, t, d),
                       resid=x2.reshape(n, t, d)).reshape(n * t, d)
         else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm1")(x2)
             a = attn(y.reshape(n, t, d))
             x2 = x2 + a.reshape(n * t, d)
         y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
@@ -636,7 +682,7 @@ class DenseViT(nn.Module):
         # cross-token op) and are sliced off the taps.
         t_tokens = 1 + gh * gw
         valid_len = None
-        if (cfg.attn_impl in ("flashflat", "flashq")
+        if (cfg.attn_impl in ("flashflat", "flashq", "flashlnq")
                 and flat_flash_eligible(d, cfg.num_heads, cfg.tp_layout)
                 and t_tokens % 8 != 0):
             tp = -(-t_tokens // 8) * 8

@@ -218,6 +218,14 @@ def _cfg_int8_frcu_only():
                                decoder_fused_rcu=True)
 
 
+def _cfg_int8_lnq():
+    # LN1 + per-row quantize fused INTO the flashq kernel (flashlnq) on
+    # top of the headline int8_headf config
+    cfg = _cfg_int8_headf()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashlnq"))
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -355,6 +363,7 @@ VARIANTS = {
     "int8_mlpf": _mk(_cfg_int8_mlpf, prep=_prep_int8_cal),
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
+    "int8_lnq": _mk(_cfg_int8_lnq, prep=_prep_int8_cal),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
     "int8_frcu": _mk(_cfg_int8_frcu, prep=_prep_int8_cal),
     "int8_frcuonly": _mk(_cfg_int8_frcu_only, prep=_prep_int8_cal),

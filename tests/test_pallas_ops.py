@@ -266,6 +266,41 @@ def test_flashq_fused_qkv_matches_flashflat():
         assert cos > 0.999, cos
 
 
+def test_flashlnq_fused_ln_matches_flashq():
+    """attn_impl='flashlnq' (LayerNorm + per-row int8 quantize + int8
+    qkv projection + flash attention in one kernel) matches the flashq
+    path (standalone LN + quantize_rows + fused qkv kernel) on the same
+    quantized tree — identical math, LN moved inside the kernel."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    cfg_q = dc.replace(base, embed_dim=128, num_heads=2,
+                       attn_impl="flashq", quant_int8="static")
+    cfg_l = dc.replace(cfg_q, attn_impl="flashlnq")
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    base_cfg = dc.replace(cfg_q, attn_impl="xla", quant_int8=False)
+    v0 = DenseViT(base_cfg).init(jax.random.PRNGKey(0), x)
+    vq = {"params": quantize_tree(v0["params"])}
+    # identical param trees: the LN params are declared (not applied)
+    # on the flashlnq path but keep nn.LayerNorm's names/shapes
+    vl = DenseViT(cfg_l).init(jax.random.PRNGKey(0), x)
+    vq0 = DenseViT(cfg_q).init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(vq0["params"])
+            == jax.tree.structure(vl["params"]))
+    taps_q, _ = DenseViT(cfg_q).apply(vq, x)
+    taps_l, _ = DenseViT(cfg_l).apply(vq, x)
+    for a, b in zip(taps_q, taps_l):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.999, cos
+
+
 def test_mlp_fused_matches_unfused():
     """mlp_fused=True (int8 fc1+GELU+requant+fc2+residual in one Pallas
     kernel) matches the unfused static-int8 path on the same tree."""

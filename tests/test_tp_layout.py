@@ -123,7 +123,7 @@ def test_flash_impl_with_tp_layout_takes_unpadded_tp_path():
     ref_m = DenseViT(_hd64_vit_cfg(attn_impl="xla", tp_layout=True))
     v = ref_m.init(jax.random.PRNGKey(0), x)
     ref_taps, _ = ref_m.apply(v, x)
-    for impl in ("flashflat", "flashq"):
+    for impl in ("flashflat", "flashq", "flashlnq"):
         m = DenseViT(_hd64_vit_cfg(attn_impl=impl, tp_layout=True))
         taps, _ = m.apply(v, x)  # same param tree: both use the TP path
         for a, b in zip(ref_taps, taps):

@@ -59,3 +59,86 @@ def tiny_rn_config(**kw) -> LSegConfig:
         text=TINY_TEXT,
     )
     return dataclasses.replace(base, **kw) if kw else base
+
+
+def save_tree_npz(path, tree) -> None:
+    """Flatten a nested dict-of-arrays to one compressed .npz ('/'
+    joined keys). Used for committed test fixtures (e.g. the trained
+    tiny checkpoint that gates the fast-int8 stack)."""
+    import numpy as np
+
+    flat = {}
+
+    def visit(prefix, node):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                visit(f"{prefix}/{k}" if prefix else k, v)
+        else:
+            flat[prefix] = np.asarray(node)
+
+    visit("", tree)
+    np.savez_compressed(path, **flat)
+
+
+def load_tree_npz(path) -> dict:
+    """Inverse of save_tree_npz."""
+    import numpy as np
+
+    out: dict = {}
+    with np.load(path) as z:
+        for key in z.files:
+            node = out
+            parts = key.split("/")
+            for p in parts[:-1]:
+                node = node.setdefault(p, {})
+            node[parts[-1]] = z[key]
+    return out
+
+
+def train_tiny_checkpoint(steps: int = 1200):
+    """Train the tiny head_dim-64 LSegNet to convergence on the
+    synthetic set with the parity config (the recipe measured to break
+    the background-collapse: plain Adam 1e-3 over 128 images — see
+    tests/test_quant.py::test_trained_model_fast_int8_miou_parity).
+    Returns ({'params', 'batch_stats'}, final_loss). ~15 min on a
+    1-CPU host; the result is committed as tests/golden/trained_tiny.npz
+    so the suite never retrains."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from lseg_tpu.data.synthetic import SyntheticSegDataset
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.train.state import create_train_state
+    from lseg_tpu.train.step import make_train_step
+
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base, vit=dataclasses.replace(base.vit, embed_dim=128,
+                                      num_heads=2))
+    nc, n_train = 4, 128
+    ds = SyntheticSegDataset(n=n_train + 8, size=64, num_classes=nc)
+    batches = [
+        {"image": jnp.asarray(np.stack(
+            [ds[i]["image"] for i in range(lo, lo + 8)])),
+         "target": jnp.asarray(np.stack(
+             [ds[i]["target"] for i in range(lo, lo + 8)]))}
+        for lo in range(0, n_train, 8)
+    ]
+    rng = np.random.RandomState(0)
+    txt = jnp.asarray(rng.randn(nc, cfg.out_c).astype(np.float32))
+    model = LSegNet(cfg)  # fp32 training, parity semantics
+    variables = model.init(
+        jax.random.PRNGKey(0), batches[0]["image"][:1], txt, train=True)
+    state = create_train_state(model, variables, optax.adam(1e-3))
+    train_step = jax.jit(make_train_step(-1, 1), donate_argnums=(0,))
+    metrics = None
+    for step in range(steps):
+        state, metrics = train_step(
+            state, batches[step % len(batches)], txt)
+    return ({"params": jax.device_get(state.params),
+             "batch_stats": jax.device_get(state.batch_stats)},
+            float(metrics["loss"]))

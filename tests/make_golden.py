@@ -53,5 +53,24 @@ def main():
           f"out mean {out.mean():.6f}")
 
 
+def main_trained():
+    """Regenerate tests/golden/trained_tiny.npz — the converged tiny
+    checkpoint gating the fast-int8 stack (~15 min on a 1-CPU host;
+    see tests/test_quant.py::test_trained_model_fast_int8_miou_parity).
+    """
+    from lseg_tpu.testing import save_tree_npz, train_tiny_checkpoint
+
+    trained, final_loss = train_tiny_checkpoint()
+    assert final_loss < 0.15, final_loss
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "trained_tiny.npz")
+    save_tree_npz(path, trained)
+    print(f"wrote {path} ({os.path.getsize(path) / 1e6:.2f} MB), "
+          f"final loss {final_loss:.4f}")
+
+
 if __name__ == "__main__":
-    main()
+    if "--trained" in sys.argv:
+        main_trained()
+    else:
+        main()

@@ -402,12 +402,10 @@ def test_trained_model_fast_int8_miou_parity():
     int8 drift (delta 0.062, agreement 0.96) — the gate below is for
     the converged sharp-margin regime that matches real released
     checkpoints."""
-    import optax
+    import os
 
     from lseg_tpu.data.synthetic import SyntheticSegDataset
     from lseg_tpu.ops.quant import calibrate_act_scales
-    from lseg_tpu.train.state import create_train_state
-    from lseg_tpu.train.step import make_train_step
 
     base = tiny_vit_config()
     cfg = dataclasses.replace(
@@ -433,19 +431,23 @@ def test_trained_model_fast_int8_miou_parity():
     rng = np.random.RandomState(0)
     txt = jnp.asarray(rng.randn(nc, cfg.out_c).astype(np.float32))
 
-    model = LSegNet(cfg)  # fp32 training, parity semantics
-    variables = model.init(
-        jax.random.PRNGKey(0), batches[0]["image"][:1], txt, train=True)
-    state = create_train_state(model, variables, optax.adam(1e-3))
-    train_step = jax.jit(make_train_step(-1, 1), donate_argnums=(0,))
-    for step in range(1200):
-        state, metrics = train_step(
-            state, batches[step % len(batches)], txt)
-    final_loss = float(metrics["loss"])
-    assert final_loss < 0.15, final_loss  # converged, margins are real
+    # The 1200-step CPU training run takes ~15 min, so the converged
+    # checkpoint is a committed golden artifact (regenerate with
+    # `python tests/make_golden.py --trained` after intentional
+    # tiny-model changes — the miou_p > 0.7 gate below re-validates
+    # convergence on every run either way).
+    ckpt = os.path.join(os.path.dirname(__file__), "golden",
+                        "trained_tiny.npz")
+    if os.path.exists(ckpt):
+        from lseg_tpu.testing import load_tree_npz
 
-    trained = {"params": jax.device_get(state.params),
-               "batch_stats": jax.device_get(state.batch_stats)}
+        trained = load_tree_npz(ckpt)
+    else:
+        from lseg_tpu.testing import save_tree_npz, train_tiny_checkpoint
+
+        trained, final_loss = train_tiny_checkpoint()
+        assert final_loss < 0.15, final_loss  # converged, real margins
+        save_tree_npz(ckpt, trained)
 
     def miou(pred, tgt):
         ious = []

@@ -80,3 +80,71 @@ def make_logits_fn(model, variables) -> Callable:
     Host-level callable (see module docstring); do not re-jit."""
     jfwd = jax.jit(model.apply)
     return functools.partial(jfwd, variables)
+
+
+def make_labelset_sharded_predictor(
+    model,
+    variables,
+    mesh,
+    axis: str = "data",
+) -> Callable:
+    """Predictor for HUGE label sets: shards the correlation head over
+    the label dimension K across `mesh`'s `axis`.
+
+    The (N, H, W, K) logit volume is the memory/bandwidth bottleneck
+    when K is large (FSS-1000: K≈1000 → ~1.8 GB at 480 crop, batch 8,
+    fp32 — vs 512-d pixel embeddings at 0.24 GB): sharding K gives each
+    device a (N, H, W, K/n) slice through the correlation matmul, the
+    ×2 bilinear upsample (K-pointwise, so no halo exchange), and a
+    local argmax; only the final (N, H, W) candidate index/value pair
+    crosses the ICI for the global argmax. The backbone+decoder runs
+    replicated — use the batch-sharded evaluators
+    (`engine.eval_single`) when N ≥ device count instead; this
+    predictor is the single-image / huge-K regime (SURVEY.md §2.3 SP
+    row and §5 long-context notes: shard the correlation, all_gather
+    only the reduced tiles).
+
+    K must divide the axis size; pad the label list (and slice the
+    returned map's semantics) or drop to `make_predictor` otherwise.
+    Host-level callable (params are jit arguments, module docstring).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    cfg = model.cfg
+    if cfg.arch_option in (1, 2):
+        # the depthwise regularization blocks convolve ACROSS K with
+        # shared weights; slicing K changes their receptive field's
+        # channel count — keep those configs on the unsharded path
+        raise ValueError(
+            "arch_option 1/2 heads mix the K channels (depthwise "
+            "blocks); label-set sharding does not apply")
+
+    repl = NamedSharding(mesh, P())
+    txt_sh = NamedSharding(mesh, P(axis, None))  # shard K rows
+    out_sh = repl
+
+    hd = (jnp.bfloat16 if cfg.head_dtype == "bfloat16"
+          else jnp.float32)
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(repl, repl, txt_sh),
+        out_shardings=out_sh,
+    )
+    def _predict(variables, images, text_features):
+        emb = model.apply(variables, images, None)  # (N, H/2, W/2, C)
+        logits = correlate(emb, text_features,
+                           logit_scale=cfg.logit_scale, compute_dtype=hd)
+        up = upsample2x(logits, align_corners=True, compute_dtype=hd)
+        return jnp.argmax(up, axis=-1).astype(jnp.int32)
+
+    def predict(images, text_features):
+        k = text_features.shape[0]
+        n_dev = mesh.shape[axis]
+        if k % n_dev:
+            raise ValueError(
+                f"label count {k} must divide the '{axis}' axis size "
+                f"{n_dev} (pad the label list)")
+        return _predict(variables, images, text_features)
+
+    return predict

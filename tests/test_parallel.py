@@ -170,3 +170,35 @@ def test_fast_serving_int8_shards_over_data_axis():
     ref = jnp.argmax(m.apply(vq, x, t), -1)
     agree = (np.asarray(out) == np.asarray(ref)).mean()
     assert agree > 0.97, agree  # random-init margins ~0
+
+
+def test_labelset_sharded_predictor_matches_unsharded():
+    """make_labelset_sharded_predictor (K sharded over the mesh for the
+    FSS-1000-style huge-label-set regime) matches the single-device
+    predictor exactly, including argmax tie-breaking."""
+    from lseg_tpu.engine.serve import (
+        make_labelset_sharded_predictor,
+        make_predictor,
+    )
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.parallel import create_mesh
+    from lseg_tpu.testing import tiny_vit_config
+
+    cfg = tiny_vit_config()
+    model = LSegNet(cfg)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    # K=64 = 8 labels per device on the 8-device mesh
+    txt = jnp.asarray(rng.randn(64, cfg.out_c).astype(np.float32))
+    v = model.init(jax.random.PRNGKey(0), x, txt)
+
+    ref = make_predictor(model, v)(x, txt)
+    mesh = create_mesh(n_data=8, n_model=1)
+    pred = make_labelset_sharded_predictor(model, v, mesh)
+    out = pred(x, txt)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        pred(x, txt[:63])

@@ -62,10 +62,40 @@ def _bail(signum, frame):  # re-emit best and stop cleanly
     sys.exit(1)
 
 
+_CACHE_DIR = "/tmp/lseg_tpu_jax_cache_tpu"
+
+
+def _warm_cache_subprocess(batch: int) -> None:
+    """Cold-cache protection (round-2 lesson, VERDICT item 1a): the
+    remote compile helper can die when several big programs compile in
+    one session, killing the whole bench. On a cold cache, compile the
+    full program set in SUBPROCESSES first (--compile-only mode) —
+    every program that lands persists in the cache, so the main
+    process (and a retry) is served from cache even if a subprocess
+    dies mid-way."""
+    import subprocess
+
+    try:
+        warm = os.path.isdir(_CACHE_DIR) and len(os.listdir(_CACHE_DIR))
+    except OSError:
+        warm = False
+    if warm:
+        return
+    for _ in range(2):
+        rc = subprocess.call(
+            [sys.executable, os.path.abspath(__file__),
+             "--compile-only", f"--batch={batch}"],
+            timeout=None, stdout=sys.stderr, stderr=sys.stderr,
+        )
+        if rc == 0:
+            return
+
+
 def main() -> None:
     batch = 8
     iters = 12
     budget = float(os.environ.get("BENCH_BUDGET_S", "0"))
+    compile_only = "--compile-only" in sys.argv
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batch = int(arg.split("=")[1])
@@ -76,9 +106,11 @@ def main() -> None:
 
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGINT, _bail)
-    if budget > 0:
+    if budget > 0 and not compile_only:
         signal.signal(signal.SIGALRM, _bail)
         signal.alarm(max(int(budget) - 5, 1))
+    if not compile_only:
+        _warm_cache_subprocess(batch)
 
     import jax
     import jax.numpy as jnp
@@ -124,6 +156,16 @@ def main() -> None:
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0),
                                  unroll=False)
+
+    if compile_only:
+        # compile the full program set into the persistent cache, then
+        # exit — run as a subprocess by _warm_cache_subprocess
+        jax.block_until_ready(
+            run.lower(variables, x, txt, jnp.int32(1)).compile()(
+                variables, x, txt, jnp.int32(1)))
+        variables = calibrate_act_scales(model, variables, x, None)
+        print("compile-only: done", file=sys.stderr, flush=True)
+        return
 
     def timed(n: int) -> float:
         t0 = time.perf_counter()

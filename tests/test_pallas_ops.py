@@ -444,30 +444,28 @@ def test_head_wup_matches_head_fused_model():
 def test_flashflat_vjp_grads_match_xla_attention():
     """flash_attention_flat_vjp (Pallas backward) must produce the
     same model gradients as the XLA attention path, including under
-    sublane padding (pad rows carry exactly zero grad)."""
+    sublane padding (pad rows carry exactly zero grad). Differentiates
+    the BACKBONE only — the decoder/head backward is byte-identical
+    between the two configs, so compiling it twice buys nothing
+    (249s -> ~2x faster on a 1-CPU host)."""
     import dataclasses as dc
 
-    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.models.vit import DenseViT
     from lseg_tpu.testing import tiny_vit_config
 
     base = tiny_vit_config()
-    cfg_x = dc.replace(
-        base, vit=dc.replace(base.vit, embed_dim=128, num_heads=2))
-    cfg_f = dc.replace(
-        cfg_x, vit=dc.replace(cfg_x.vit, attn_impl="flashflat"))
-    m_x = LSegNet(cfg_x)
-    m_f = LSegNet(cfg_f)
+    cfg_x = dc.replace(base.vit, embed_dim=128, num_heads=2)
+    cfg_f = dc.replace(cfg_x, attn_impl="flashflat")
+    m_x = DenseViT(cfg_x)
+    m_f = DenseViT(cfg_f)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
-    txt = jnp.asarray(rng.randn(4, cfg_x.out_c).astype(np.float32))
-    v = m_x.init(jax.random.PRNGKey(0), x, txt, train=True)
+    v = m_x.init(jax.random.PRNGKey(0), x)
 
     def loss(model):
         def f(params):
-            out, _ = model.apply(
-                {"params": params, "batch_stats": v["batch_stats"]},
-                x, txt, train=True, mutable=["batch_stats"])
-            return jnp.sum(out * out) * 1e-3
+            taps, _ = model.apply({"params": params}, x)
+            return sum(jnp.sum(t * t) for t in taps) * 1e-3
         return f
 
     gx = jax.grad(loss(m_x))(v["params"])

@@ -64,6 +64,12 @@ class ViTConfig:
     # VMEM; needs quant_int8='static' and mlp_gelu='tanh' — falls back
     # to the unfused path otherwise)
     mlp_fused: bool = False
+    # fused LayerNorm2 + per-row int8 quantize Pallas pass before the
+    # MLP (ops/pallas_ln.py; needs quant_int8='static' and a sublane-
+    # aligned token count — falls back to the XLA LN+quantize chain
+    # otherwise). Pairs with attn_impl='flashlnq', which fuses LN1 into
+    # the attention kernel.
+    ln_quant_fused: bool = False
     # flat flash kernel interior variant: 'v1' (per-head chains) or
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
     # head's softmax VPU work with the other's MXU matmuls)

@@ -464,6 +464,7 @@ class Block(nn.Module):
     valid_len: Any = None
     kernel_variant: str = "v1"
     mlp_fused: bool = False
+    ln_quant_fused: bool = False
     emit_y: bool = False
 
     @nn.compact
@@ -498,9 +499,36 @@ class Block(nn.Module):
                              name="norm1")(x2)
             a = attn(y.reshape(n, t, d))
             x2 = x2 + a.reshape(n * t, d)
-        y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype, name="norm2")(x2)
-        if (self.mlp_fused and self.quant == "static"
+        if (self.ln_quant_fused and self.quant == "static"
+                and not self.mlp_fused
+                and t % 8 == 0 and d % 128 == 0):
+            # LN2 + per-row int8 quantize in one Pallas pass
+            # (ops/pallas_ln.py): the normalized bf16 tensor never hits
+            # HBM and no standalone LN op remains for XLA to peel. The
+            # int8 MLP matmuls stay XLA (identical math to the static
+            # Mlp path, StaticQuantDense semantics).
+            from lseg_tpu.ops.pallas_ln import (
+                int8_matmul_preact,
+                ln_quantize_rows,
+            )
+
+            g2, b2 = _LNParams(d, name="norm2")()
+            yq, sy = ln_quantize_rows(x2.reshape(n, t, d), g2, b2)
+            (k1, s1, b1), (k2, s2, bb2) = _MLPStaticParams(
+                self.dim, hidden, name="mlp")()
+            h = (int8_matmul_preact(
+                yq.reshape(n * t, d), sy.reshape(n * t, 1), k1, s1,
+                out_dtype=self.dtype) + b1.astype(self.dtype))
+            h = jax.nn.gelu(h, approximate=(self.gelu == "tanh"))
+            from lseg_tpu.ops.quant import int8_matmul_prequant
+
+            x2 = x2 + (int8_matmul_prequant(
+                h, k2, s2, out_dtype=self.dtype)
+                + bb2.astype(self.dtype))
+        elif (self.mlp_fused and self.quant == "static"
                 and self.gelu == "tanh"):
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm2")(x2)
             # fused int8 MLP kernel: fc1+GELU+requant+fc2+residual in
             # VMEM; the (N, T, 4D) hidden activation never hits HBM
             # (ops/pallas_mlp.py). Same params as the unfused path.
@@ -515,6 +543,8 @@ class Block(nn.Module):
                 *w1, *w2,
             ).astype(self.dtype).reshape(n * t, d)
         else:
+            y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
+                             name="norm2")(x2)
             x2 = x2 + Mlp(self.dim, hidden,
                           self.dtype, quant=self.quant, gelu=self.gelu,
                           name="mlp")(y)
@@ -552,6 +582,7 @@ class BlockStack(nn.Module):
     valid_len: Any = None
     kernel_variant: str = "v1"
     mlp_fused: bool = False
+    ln_quant_fused: bool = False
     emit_ys: bool = False
 
     @nn.compact
@@ -579,6 +610,7 @@ class BlockStack(nn.Module):
             valid_len=self.valid_len,
             kernel_variant=self.kernel_variant,
             mlp_fused=self.mlp_fused,
+            ln_quant_fused=self.ln_quant_fused,
             emit_y=self.emit_ys,
             name="blocks",
         )(x, None)
@@ -708,6 +740,7 @@ class DenseViT(nn.Module):
             valid_len=valid_len,
             kernel_variant=cfg.attn_variant,
             mlp_fused=cfg.mlp_fused,
+            ln_quant_fused=cfg.ln_quant_fused,
         )
         taps: List[jnp.ndarray] = []
         if cfg.single_scan:

@@ -226,6 +226,21 @@ def _cfg_int8_lnq():
         cfg, vit=dataclasses.replace(cfg.vit, attn_impl="flashlnq"))
 
 
+def _cfg_int8_lnf():
+    # fused LN2+quantize Pallas pass on top of int8_headf (flashq)
+    cfg = _cfg_int8_headf()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, ln_quant_fused=True))
+
+
+def _cfg_int8_lnq_lnf():
+    # both LN fusions: flashlnq attention + fused LN2+quantize — no
+    # standalone LayerNorm left in the scan body
+    cfg = _cfg_int8_lnq()
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, ln_quant_fused=True))
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -364,6 +379,8 @@ VARIANTS = {
     "int8_flashqp": _mk(_cfg_int8_flashqp, prep=_prep_int8_cal),
     "int8_headf": _mk(_cfg_int8_headf, prep=_prep_int8_cal),
     "int8_lnq": _mk(_cfg_int8_lnq, prep=_prep_int8_cal),
+    "int8_lnf": _mk(_cfg_int8_lnf, prep=_prep_int8_cal),
+    "int8_lnq_lnf": _mk(_cfg_int8_lnq_lnf, prep=_prep_int8_cal),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
     "int8_frcu": _mk(_cfg_int8_frcu, prep=_prep_int8_cal),
     "int8_frcuonly": _mk(_cfg_int8_frcu_only, prep=_prep_int8_cal),

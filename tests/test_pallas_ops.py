@@ -301,6 +301,64 @@ def test_flashlnq_fused_ln_matches_flashq():
         assert cos > 0.999, cos
 
 
+def test_ln_quantize_rows_matches_xla_chain():
+    """ln_quantize_rows == quantize_rows(LayerNorm(x)) — same fp32
+    math, so int8 values may differ only at round-to-nearest bin edges
+    and scales must agree to fp tolerance."""
+    import flax.linen as nn
+
+    from lseg_tpu.ops.pallas_ln import ln_quantize_rows
+    from lseg_tpu.ops.quant import quantize_rows
+
+    rng = np.random.RandomState(0)
+    n, t, d = 2, 16, 256
+    x = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 3)
+    g = jnp.asarray(rng.rand(d).astype(np.float32) + 0.5)
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    ln = nn.LayerNorm(epsilon=1e-6)
+    y = ln.apply({"params": {"scale": g, "bias": b}}, x)
+    q_ref, s_ref = quantize_rows(y)
+    q, s = ln_quantize_rows(x, g, b, interpret=True)
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref.reshape(
+        n, t, 1)), rtol=1e-5, atol=1e-7)
+    same = (np.asarray(q) == np.asarray(q_ref)).mean()
+    assert same > 0.999, same  # bin-edge flips only
+    assert np.abs(np.asarray(q, np.int32)
+                  - np.asarray(q_ref, np.int32)).max() <= 1
+
+
+def test_ln_quant_fused_block_matches_unfused():
+    """ViTConfig.ln_quant_fused (Pallas LN2+quantize pass + XLA int8
+    MLP matmuls) matches the static Mlp path on the same quantized
+    tree; param trees identical."""
+    import dataclasses as dc
+
+    from lseg_tpu.models.vit import DenseViT
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config().vit
+    cfg_u = dc.replace(base, embed_dim=128, num_heads=2,
+                       attn_impl="flashq", quant_int8="static")
+    cfg_f = dc.replace(cfg_u, ln_quant_fused=True)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 48, 3).astype(np.float32))
+    base_cfg = dc.replace(cfg_u, attn_impl="xla", quant_int8=False)
+    v0 = DenseViT(base_cfg).init(jax.random.PRNGKey(0), x)
+    vq = {"params": quantize_tree(v0["params"])}
+    vf0 = DenseViT(cfg_f).init(jax.random.PRNGKey(0), x)
+    vu0 = DenseViT(cfg_u).init(jax.random.PRNGKey(0), x)
+    assert (jax.tree.structure(vu0["params"])
+            == jax.tree.structure(vf0["params"]))
+    taps_u, _ = DenseViT(cfg_u).apply(vq, x)
+    taps_f, _ = DenseViT(cfg_f).apply(vq, x)
+    for a, b in zip(taps_u, taps_f):
+        a = np.asarray(a, np.float32).ravel()
+        b = np.asarray(b, np.float32).ravel()
+        cos = (a @ b) / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9)
+        assert cos > 0.999, cos
+
+
 def test_mlp_fused_matches_unfused():
     """mlp_fused=True (int8 fc1+GELU+requant+fc2+residual in one Pallas
     kernel) matches the unfused static-int8 path on the same tree."""

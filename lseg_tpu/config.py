@@ -306,18 +306,23 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
     if vit is not None:
         use_flashflat = flat_flash_eligible(
             vit.embed_dim, vit.num_heads, vit.tp_layout)
-        # flashq = int8 qkv projection fused INTO the flash kernel
-        # (210.3 vs 206.1 img/s, needs the static-int8 tree); flashflat
-        # for unquantized fast serving; XLA fallback otherwise.
+        # flashlnq = LN1 + int8 row-quantize + qkv projection fused INTO
+        # the flash kernel (31.75 vs 33.47 ms/b8 over flashq,
+        # interleaved A/B r3); flashflat for unquantized fast serving;
+        # XLA fallback otherwise. ln_quant_fused adds the LN2+quantize
+        # Pallas pass (34.8 vs 36.0 ms on top of flashlnq) — both
+        # self-gate on shape eligibility inside Block.
         impl = vit.attn_impl
         if use_flashflat:
-            impl = "flashq" if quant else "flashflat"
+            impl = "flashlnq" if quant else "flashflat"
         vit = dataclasses.replace(
             vit,
             attn_impl=impl,
             attn_scores_dtype="bfloat16",
             mlp_gelu="tanh",
             quant_int8="static" if quant else vit.quant_int8,
+            ln_quant_fused=bool(quant) if use_flashflat
+            else vit.ln_quant_fused,
         )
     return dataclasses.replace(
         cfg, vit=vit, head_dtype="bfloat16",

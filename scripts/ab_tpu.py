@@ -241,6 +241,23 @@ def _cfg_int8_lnq_lnf():
         cfg, vit=dataclasses.replace(cfg.vit, ln_quant_fused=True))
 
 
+def _cfg_int8_best_tails():
+    # fused decoder tails on top of the double-LN-fused best config
+    return dataclasses.replace(_cfg_int8_lnq_lnf(),
+                               decoder_fused_tail=True)
+
+
+def _cfg_int8_best_frcu():
+    # fused RCU kernels + fused tails on top of the best config
+    return dataclasses.replace(_cfg_int8_best_tails(),
+                               decoder_fused_rcu=True)
+
+
+def _cfg_int8_best_wup():
+    # in-kernel x2 W-interp head variant on top of the best config
+    return dataclasses.replace(_cfg_int8_lnq_lnf(), head_fused="wup")
+
+
 def _cfg_int8_mlpf():
     cfg = _cfg_int8_flashq()
     return dataclasses.replace(
@@ -382,6 +399,9 @@ VARIANTS = {
     "int8_lnf": _mk(_cfg_int8_lnf, prep=_prep_int8_cal),
     "int8_lnq_lnf": _mk(_cfg_int8_lnq_lnf, prep=_prep_int8_cal),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
+    "int8_best_tails": _mk(_cfg_int8_best_tails, prep=_prep_int8_cal),
+    "int8_best_frcu": _mk(_cfg_int8_best_frcu, prep=_prep_int8_cal),
+    "int8_best_wup": _mk(_cfg_int8_best_wup, prep=_prep_int8_cal),
     "int8_frcu": _mk(_cfg_int8_frcu, prep=_prep_int8_cal),
     "int8_frcuonly": _mk(_cfg_int8_frcu_only, prep=_prep_int8_cal),
     "int8_tailv2": _mk(_cfg_int8_headf, prep=_prep_int8_cal,

@@ -126,8 +126,9 @@ def test_sharded_tta_eval_matches_single_device():
 
 
 def test_fast_serving_int8_shards_over_data_axis():
-    """The full fast-serving stack (flashq fused kernel + int8 decoder)
-    runs under a data-sharded mesh — the multi-chip serving path."""
+    """The full fast-serving stack (flashlnq fused kernel + LN2-fused
+    quantize + int8 decoder) runs under a data-sharded mesh — the
+    multi-chip serving path."""
     import dataclasses
 
     import numpy as np
@@ -145,7 +146,8 @@ def test_fast_serving_int8_shards_over_data_axis():
             base, vit=dataclasses.replace(
                 base.vit, embed_dim=128, num_heads=2)),
         quant="static")
-    assert cfg.vit.attn_impl == "flashq"
+    assert cfg.vit.attn_impl == "flashlnq"
+    assert cfg.vit.ln_quant_fused
     m = LSegNet(cfg, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))

@@ -468,7 +468,7 @@ def test_trained_model_fast_int8_miou_parity():
 
     # full fast-int8 stack, exactly as bench.py builds it
     cfg_f = fast_serving(cfg, quant="static_cal")
-    assert cfg_f.vit.attn_impl == "flashq"
+    assert cfg_f.vit.attn_impl == "flashlnq"
     assert cfg_f.decoder_quant == "static_cal" and cfg_f.head_fused
     mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
     vf = dict(trained)

@@ -151,7 +151,12 @@ def main() -> None:
     def run(v, x, t, n):
         def body(i, acc):
             xi = x + (i.astype(jnp.float32) * 1e-6)
-            pred = jnp.argmax(model.apply(v, xi, t), axis=-1)
+            # half-res-argmax serving mode: argmax over K inside the
+            # fused head kernel + nearest x2 of the label map (239.8
+            # vs 230.2 img/s interleaved r4; boundary-only deviation
+            # from bilinear-then-argmax, mIoU-delta gated on a trained
+            # model in tests/test_quant.py)
+            pred = model.apply(v, xi, t, return_argmax=True)
             return acc + jnp.sum(pred, dtype=jnp.int32)
 
         return jax.lax.fori_loop(0, n, body, jnp.int32(0),

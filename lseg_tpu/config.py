@@ -170,6 +170,13 @@ class LSegConfig:
     # round-trips per RCU at the refinenet1 shape on the XLA chain).
     # Serving knob, static_cal only, per-shape fallback.
     decoder_fused_rcu: bool = False
+    # run refinenet1's out_conv BEFORE its x2 upsample (exact linear
+    # commute, see FeatureFusionBlock.conv_first): the conv + its
+    # activation quantize run on 4x fewer pixels and one of the two
+    # int8 relayout copies between the decoder and the fused head
+    # disappears. Serving knob; the parity path keeps the reference
+    # op order (lseg_blocks.py:341-357).
+    decoder_conv_first: bool = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32
@@ -321,8 +328,8 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
             attn_scores_dtype="bfloat16",
             mlp_gelu="tanh",
             quant_int8="static" if quant else vit.quant_int8,
-            ln_quant_fused=bool(quant) if use_flashflat
-            else vit.ln_quant_fused,
+            ln_quant_fused=(bool(quant) or vit.ln_quant_fused)
+            if use_flashflat else vit.ln_quant_fused,
         )
     return dataclasses.replace(
         cfg, vit=vit, head_dtype="bfloat16",
@@ -330,6 +337,10 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
         # fused int8 head1+correlation kernel (215.0 vs 208.5 img/s —
         # the pixel-embedding map never hits HBM); needs the int8 tree
         head_fused=bool(quant),
+        # refinenet1 out_conv BEFORE its x2 upsample (exact linear
+        # commute): 33.68 vs 34.76 ms/b8 interleaved (r4), and 32.56
+        # combined with the half-res-argmax serving head
+        decoder_conv_first=bool(quant),
     )
 
 

@@ -52,6 +52,58 @@ def pil_resize(
     )
 
 
+def _area_weights(n_in: int, n_out: int) -> np.ndarray:
+    """(n_out, n_in) INTER_AREA operator for one axis, replicating
+    cv2's construction exactly (resize.cpp): shrink rows are the
+    pixel-area coverage of the output box [i*s, (i+1)*s) with cv2's
+    1e-3 partial-cell threshold; zoom rows are cv2's two-tap
+    (1-fx, fx) form — including its floating-point boundary behavior
+    (scale computed as 1/inv_scale, ties floored). cv2-oracle-tested
+    to the uint8 rounding ulp in tests/test_utils_misc.py."""
+    inv = n_out / n_in
+    s = 1.0 / inv
+    w = np.zeros((n_out, n_in), np.float64)
+    if n_out >= n_in:  # zoom (or identity): cv2's area-upscale taps
+        for i in range(n_out):
+            sx = int(np.floor(i * s))
+            fx = (i + 1) - (sx + 1) * inv
+            fx = 0.0 if fx <= 0 else fx - np.floor(fx)
+            sx = min(sx, n_in - 1)
+            w[i, sx] += 1.0 - fx
+            w[i, min(sx + 1, n_in - 1)] += fx
+        return w
+    for i in range(n_out):  # shrink: exact area cells
+        fsx1 = i * s
+        fsx2 = fsx1 + s
+        sx1, sx2 = int(np.ceil(fsx1)), int(np.floor(fsx2))
+        if sx1 - fsx1 > 1e-3 and sx1 >= 1:
+            w[i, sx1 - 1] = sx1 - fsx1
+        for j in range(sx1, min(sx2, n_in)):
+            w[i, j] = 1.0
+        if fsx2 - sx2 > 1e-3 and sx2 < n_in:
+            w[i, sx2] = fsx2 - sx2
+        w[i] /= w[i].sum()
+    return w
+
+
+def area_resize(arr: np.ndarray, oh: int, ow: int) -> np.ndarray:
+    """cv2.INTER_AREA-equivalent resize of an (H, W[, C]) array via
+    separable area-coverage matmuls (reference default interpolation
+    of the DPT Resize util: utils.py:211,332). Matches cv2 bit-for-bit
+    up to its fixed-point rounding (+-1 for uint8) when both axes
+    scale the same direction — the keep-aspect regime the reference
+    uses it in; mixed shrink/zoom axes deviate from cv2 (which
+    special-cases them) and are handled upstream."""
+    ih, iw = arr.shape[:2]
+    out = np.einsum("oi,i...->o...", _area_weights(ih, oh),
+                    arr.astype(np.float64))          # (oh, iw, ...)
+    out = np.einsum("pj,oj...->op...", _area_weights(iw, ow),
+                    out)                             # (oh, ow, ...)
+    if arr.dtype == np.uint8:
+        return np.clip(np.round(out), 0, 255).astype(np.uint8)
+    return out.astype(arr.dtype)
+
+
 def train_transform(
     img: Image.Image,
     mask: Image.Image,
@@ -149,12 +201,16 @@ class KeepAspectResize:
     def __init__(self, width: int, height: int, keep_aspect: bool = True,
                  ensure_multiple_of: int = 32,
                  resize_method: str = "lower_bound",
-                 letter_box: bool = False):
+                 letter_box: bool = False,
+                 interpolation: str = "area"):
         self.w, self.h = width, height
         self.keep_aspect = keep_aspect
         self.m = ensure_multiple_of
         self.method = resize_method
         self.letter_box = letter_box
+        if interpolation not in ("area", "bilinear"):
+            raise ValueError(interpolation)
+        self.interpolation = interpolation
 
     def _letter_box(self, arr: np.ndarray) -> np.ndarray:
         """Zero-pad symmetrically toward (self.h, self.w) (reference:
@@ -204,7 +260,15 @@ class KeepAspectResize:
 
     def __call__(self, img: Image.Image) -> Image.Image:
         ow, oh = self.get_size(*img.size)
-        out = pil_resize(img, (oh, ow), is_mask=False)
+        iw, ih = img.size
+        same_dir = (oh <= ih) == (ow <= iw)
+        if self.interpolation == "area" and same_dir:
+            # the reference's cv2.INTER_AREA default (utils.py:211,332)
+            out = Image.fromarray(area_resize(np.asarray(img), oh, ow))
+        else:
+            # mixed shrink/zoom axes (cv2 special-cases these; cannot
+            # happen with keep_aspect) or explicit 'bilinear': PIL path
+            out = pil_resize(img, (oh, ow), is_mask=False)
         if self.letter_box:
             out = Image.fromarray(self._letter_box(np.asarray(out)))
         return out

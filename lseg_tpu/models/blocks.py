@@ -295,6 +295,15 @@ class FeatureFusionBlock(nn.Module):
     quant: Any = False
     tail_fused: bool = False
     rcu_fused: bool = False
+    # Run out_conv BEFORE the x2 upsample (serving): the 1x1 conv is
+    # channel-only and the bilinear upsample spatial-only, and the
+    # align-corners interp rows sum to 1, so conv/bias and upsample
+    # commute EXACTLY (up(conv(x)+b) == conv(up(x))+b up to float
+    # reassociation). At the refinenet1 flagship shape this runs the
+    # conv (and its activation quantize) on 4x fewer pixels and drops
+    # one of the two int8 relayout copies at 240 res. Non-default: the
+    # parity path keeps the reference op order (lseg_blocks.py:341-357).
+    conv_first: bool = False
 
     @nn.compact
     def __call__(
@@ -311,6 +320,16 @@ class FeatureFusionBlock(nn.Module):
             self.features, self.use_bn, self.dtype, self.quant,
             self.rcu_fused, name="rcu2"
         )(x, train)
+
+        if self.conv_first:
+            x = _conv(
+                self.features, (1, 1), self.quant, self.dtype, "out_conv"
+            )(x)
+            return upsample2x(x, align_corners=True,
+                              compute_dtype=(self.dtype
+                                             if self.quant in
+                                             ("static", "static_cal")
+                                             else jnp.float32))
 
         if (self.tail_fused and self.quant == "static_cal"
                 and not self.is_mutable_collection("quant_cal")):

@@ -40,6 +40,14 @@ from lseg_tpu.ops.correlation import correlate
 from lseg_tpu.ops.resize import upsample2x
 
 
+def _nearest2x(pred: jnp.ndarray) -> jnp.ndarray:
+    """×2 nearest upsample of an (N, H, W) int32 label map
+    (out[i, j] = in[i // 2, j // 2], torch F.interpolate 'nearest')."""
+    n, h, w = pred.shape
+    pred = jnp.broadcast_to(pred[:, :, None, :, None], (n, h, 2, w, 2))
+    return pred.reshape(n, 2 * h, 2 * w)
+
+
 class _Head1Params(nn.Module):
     """Declares head1's StaticQuantConv param set (kernel_q, scale,
     bias[, act_scale]) without running the conv — the fused head kernel
@@ -88,7 +96,18 @@ class LSegNet(nn.Module):
         text_features: Optional[jnp.ndarray] = None,  # (K, out_c)
         train: bool = False,
         return_halfres: bool = False,  # skip the x2 output upsample
+        return_argmax: bool = False,   # half-res-argmax serving mode
     ) -> jnp.ndarray:
+        # `return_argmax=True` returns (N, H, W) int32 class predictions
+        # computed as argmax over K at HALF resolution, nearest-×2
+        # upsampled to the crop size (or left half-res with
+        # `return_halfres`). This is the half-res-argmax serving mode:
+        # mathematically different from the reference's
+        # bilinear-upsample-then-argmax (disagreements only at class
+        # boundaries; quantified on a trained model in
+        # tests/test_quant.py), and identical across the fused-kernel
+        # and XLA paths. In the fused head it runs the argmax inside
+        # the Pallas kernel, so the logit map never exists in HBM.
         cfg = self.cfg
 
         if cfg.is_vit:
@@ -138,6 +157,12 @@ class LSegNet(nn.Module):
             and cfg.arch_option not in (1, 2)
             and not self.emulate_fp16
             and text_features is not None
+            # during activation-scale calibration the unfused path runs
+            # so head1's StaticQuantConv sows its input amax (the fused
+            # path declares raw params and never sows — without this,
+            # head1's act_scale stayed at its init value 1.0 and path1
+            # saturated at +-1 on the serving quantize grid)
+            and not self.is_mutable_collection("quant_cal")
         )
         head_sc = None
         if use_head_fused and q == "static_cal":
@@ -151,7 +176,7 @@ class LSegNet(nn.Module):
 
         path1 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
-            name="refinenet1"
+            conv_first=cfg.decoder_conv_first, name="refinenet1"
         )(path2, rn[0], train, out_int8_scale=head_sc)
 
         if use_head_fused:
@@ -180,6 +205,16 @@ class LSegNet(nn.Module):
                     -127, 127).astype(jnp.int8)
             else:
                 xq8, sxs = quantize_tensor(path1)
+            if return_argmax:
+                from lseg_tpu.ops.pallas_correlation import (
+                    head1_correlate_argmax_fused,
+                )
+
+                pred = head1_correlate_argmax_fused(
+                    xq8, sxs, kq, s1, b1, text_features,
+                    logit_scale=cfg.logit_scale,
+                )
+                return pred if return_halfres else _nearest2x(pred)
             if cfg.head_fused == "wup" and not return_halfres:
                 # kernel also applies the x2 W-interp; only the
                 # H-interp remains for XLA to loop-fuse into the
@@ -246,6 +281,13 @@ class LSegNet(nn.Module):
             out = head_block(out, act=False)
             out = out.astype(hd)
 
+        if return_argmax:
+            # half-res-argmax serving semantics on the XLA path: same
+            # label map as the fused kernel (argmax is invariant to the
+            # positive per-pixel norm and temperature factors)
+            pred = jnp.argmax(out.astype(jnp.float32),
+                              axis=-1).astype(jnp.int32)
+            return pred if return_halfres else _nearest2x(pred)
         if return_halfres:
             return out
         # Output head: ×2 bilinear to full crop resolution

@@ -413,6 +413,99 @@ def head1_correlate_wup_fused(
     return out.reshape(n, h, 2 * w, k)
 
 
+def _head1_argmax_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *,
+                         k_real):
+    """_head1_kernel ending in an in-VMEM lane argmax: only the (M, 1)
+    int32 prediction map leaves the kernel — the (M, K) logit map never
+    exists in HBM. The deferred-norm rsqrt and the temperature scale
+    are both strictly positive per-row scalars, so argmax is invariant
+    to them and they are skipped entirely (exact same winner, ties
+    resolved first-occurrence either way)."""
+    xq = xq_ref[:]                        # (TM, C) int8
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],                     # (C, E) int8
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    e = acc.astype(jnp.float32) * sc_ref[:] + b_ref[:]   # (TM, E) fp32
+    lo = jax.lax.dot_general(
+        e.astype(jnp.bfloat16), t_ref[:],  # (Kp, E) bf16
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                      # (TM, Kp) fp32
+    # K-padding columns must never win: t padding rows are zero (logit
+    # exactly 0) but real logits can be all-negative — mask them out.
+    col = jax.lax.broadcasted_iota(jnp.int32, lo.shape, 1)
+    lo = jnp.where(col < k_real, lo, -jnp.inf)
+    o_ref[:] = jnp.argmax(lo, axis=-1).astype(jnp.int32)[:, None]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+)
+def head1_correlate_argmax_fused(
+    xq: jnp.ndarray,      # (N, H, W, C) int8 — quantized path1
+    sx: jnp.ndarray,      # fp32 scalar activation scale (amax/127)
+    w1q: jnp.ndarray,     # (1, 1, C, E) int8 head1 kernel
+    s1: jnp.ndarray,      # (E,) fp32 per-channel weight scales
+    b1: jnp.ndarray,      # (E,) fp32 head1 bias
+    text_features: jnp.ndarray,  # (K, E) fp32 raw text features
+    logit_scale: float = 1.0 / 0.07,
+    tile_m: int = 512,
+    interpret: bool = None,
+) -> jnp.ndarray:         # (N, H, W) int32 class predictions
+    """`head1_correlate_fused` + in-kernel argmax over K: the half-res
+    serving head (reference semantics lseg_net.py:185-196 + the argmax
+    of lseg_app.py:357, taken BEFORE the x2 output upsample — the
+    half-res-argmax serving mode; callers nearest-upsample the label
+    map). Kills the whole XLA logit tail (relayout copy + H-interp +
+    W-interp/argmax ≈ 2.2 ms/batch-8 at the flagship shape): only
+    (N, H, W) int32 leaves the device path."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, h, w, c = xq.shape
+    e_dim = w1q.shape[-1]
+    k = text_features.shape[0]
+    m = n * h * w
+    mp = _round_up(m, tile_m)
+    kp = _round_up(k, 128)
+
+    x2 = xq.reshape(m, c)
+    if mp != m:
+        x2 = jnp.pad(x2, ((0, mp - m), (0, 0)))
+    t = text_features.astype(jnp.float32)
+    tn = t * jax.lax.rsqrt(jnp.maximum(
+        jnp.sum(t * t, axis=-1, keepdims=True), 1e-24))
+    tn = tn.astype(jnp.bfloat16)
+    if kp != k:
+        tn = jnp.pad(tn, ((0, kp - k), (0, 0)))
+
+    sc = (sx.astype(jnp.float32).reshape(1, 1)
+          * s1.astype(jnp.float32).reshape(1, e_dim))
+    out = pl.pallas_call(
+        functools.partial(_head1_argmax_kernel, k_real=k),
+        grid=(mp // tile_m,),
+        in_specs=[
+            pl.BlockSpec((tile_m, c), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((c, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kp, e_dim), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_m, 1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((mp, 1), jnp.int32),
+        interpret=interpret,
+    )(x2, w1q.reshape(c, e_dim), sc,
+      b1.astype(jnp.float32).reshape(1, e_dim), tn)
+    return out[:m, 0].reshape(n, h, w)
+
+
 @functools.partial(
     jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
 )

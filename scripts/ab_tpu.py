@@ -398,6 +398,20 @@ VARIANTS = {
     "int8_lnq": _mk(_cfg_int8_lnq, prep=_prep_int8_cal),
     "int8_lnf": _mk(_cfg_int8_lnf, prep=_prep_int8_cal),
     "int8_lnq_lnf": _mk(_cfg_int8_lnq_lnf, prep=_prep_int8_cal),
+    "int8_hargmax": _mk(_cfg_int8_lnq_lnf, prep=_prep_int8_cal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
+    "int8_cf": _mk(lambda: dataclasses.replace(
+                       _cfg_int8_lnq_lnf(), decoder_conv_first=True),
+                   prep=_prep_int8_cal),
+    "int8_cf_hargmax": _mk(lambda: dataclasses.replace(
+                               _cfg_int8_lnq_lnf(),
+                               decoder_conv_first=True),
+                           prep=_prep_int8_cal,
+                           fwd_fn=lambda model, cfg: (
+                               lambda v, x, t: model.apply(
+                                   v, x, t, return_argmax=True))),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
     "int8_best_tails": _mk(_cfg_int8_best_tails, prep=_prep_int8_cal),
     "int8_best_frcu": _mk(_cfg_int8_best_frcu, prep=_prep_int8_cal),

@@ -683,3 +683,130 @@ def test_fused_rcu_matches_int8_chain():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         rtol=0.02, atol=0.05)
+
+
+def test_head1_argmax_kernel_matches_fused():
+    """head1_correlate_argmax_fused == argmax of head1_correlate_fused
+    on the same operands (the skipped norm/temperature factors are
+    positive and cannot change the winner), including K-pad masking
+    with all-negative real logits."""
+    from lseg_tpu.ops.pallas_correlation import (
+        head1_correlate_argmax_fused,
+        head1_correlate_fused,
+    )
+
+    rng = np.random.RandomState(3)
+    n, h, w, c, e, k = 2, 8, 16, 32, 24, 5
+    xq = jnp.asarray(
+        rng.randint(-127, 128, size=(n, h, w, c)).astype(np.int8))
+    sx = jnp.float32(0.037)
+    w1q = jnp.asarray(
+        rng.randint(-127, 128, size=(1, 1, c, e)).astype(np.int8))
+    s1 = jnp.asarray(rng.rand(e).astype(np.float32) * 0.02)
+    # large negative bias pushes many pixels to all-negative logits:
+    # the K-pad columns (exactly 0 after the zero text padding) would
+    # win there if the kernel didn't mask them
+    b1 = jnp.asarray((rng.randn(e) - 2.0).astype(np.float32))
+    txt = jnp.asarray(rng.randn(k, e).astype(np.float32))
+
+    lo = head1_correlate_fused(xq, sx, w1q, s1, b1, txt, tile_m=64,
+                               interpret=True)
+    ref = np.argmax(np.asarray(lo, np.float32), axis=-1)
+    got = np.asarray(head1_correlate_argmax_fused(
+        xq, sx, w1q, s1, b1, txt, tile_m=64, interpret=True))
+    assert got.shape == (n, h, w)
+    agree = (got == ref).mean()
+    assert agree >= 0.999, agree
+
+
+def test_return_argmax_model_paths_agree():
+    """LSegNet(return_argmax=True): the fused-kernel path and the
+    explicit argmax-of-halfres-logits path produce the same label map,
+    and the full-res map is its exact nearest-x2 upsample."""
+    import dataclasses
+
+    from lseg_tpu.models.lseg import LSegNet, _nearest2x
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, quant_int8="static"),
+        decoder_quant="static", head_dtype="bfloat16", head_fused=True,
+    )
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, base.out_c).astype(np.float32))
+    v = LSegNet(base, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, txt)
+    vq = dict(v)
+    vq["params"] = quantize_tree(v["params"], decoder=True)
+
+    half = m.apply(vq, x, txt, return_halfres=True)       # bf16 logits
+    ref_half = np.argmax(np.asarray(half, np.float32), axis=-1)
+    got_half = np.asarray(m.apply(vq, x, txt, return_argmax=True,
+                                  return_halfres=True))
+    assert got_half.shape == ref_half.shape
+    assert (got_half == ref_half).mean() >= 0.999
+
+    got_full = np.asarray(m.apply(vq, x, txt, return_argmax=True))
+    assert got_full.shape == (1, 64, 64)
+    np.testing.assert_array_equal(
+        got_full, np.asarray(_nearest2x(jnp.asarray(got_half))))
+
+    # XLA (non-fused) path implements the same serving semantics
+    cfg_u = dataclasses.replace(cfg, head_fused=False)
+    m_u = LSegNet(cfg_u, dtype=jnp.bfloat16)
+    got_u = np.asarray(m_u.apply(vq, x, txt, return_argmax=True))
+    assert (got_u == got_full).mean() > 0.97, (got_u == got_full).mean()
+
+
+def test_conv_first_commute_exact():
+    """FeatureFusionBlock(conv_first=True): out_conv and the x2
+    align-corners upsample commute exactly (1x1 conv is channel-only,
+    the interp is spatial-only with rows summing to 1, so the bias
+    commutes too) — fp32 unquantized check, then the int8 serving
+    model-level agreement."""
+    import dataclasses
+
+    from lseg_tpu.models.blocks import FeatureFusionBlock
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(2, 10, 12, 16).astype(np.float32))
+    skip = jnp.asarray(rng.randn(2, 10, 12, 16).astype(np.float32))
+    ref_blk = FeatureFusionBlock(16, use_bn=True)
+    v = ref_blk.init(jax.random.PRNGKey(0), x, skip)
+    a = ref_blk.apply(v, x, skip)
+    b = FeatureFusionBlock(16, use_bn=True, conv_first=True).apply(
+        v, x, skip)
+    assert a.shape == b.shape == (2, 20, 24, 16)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=2e-5, atol=2e-5)
+
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base,
+        vit=dataclasses.replace(base.vit, quant_int8="static"),
+        decoder_quant="static", head_dtype="bfloat16", head_fused=True,
+    )
+    cfg_c = dataclasses.replace(cfg, decoder_conv_first=True)
+    xm = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, base.out_c).astype(np.float32))
+    vm = LSegNet(base, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), xm, txt)
+    vq = dict(vm)
+    vq["params"] = quantize_tree(vm["params"], decoder=True)
+    la = np.asarray(LSegNet(cfg, dtype=jnp.bfloat16).apply(
+        vq, xm, txt), np.float32)
+    lb = np.asarray(LSegNet(cfg_c, dtype=jnp.bfloat16).apply(
+        vq, xm, txt), np.float32)
+    agree = (la.argmax(-1) == lb.argmax(-1)).mean()
+    assert agree > 0.97, agree
+    cos = (la * lb).sum() / (np.linalg.norm(la) * np.linalg.norm(lb)
+                             + 1e-9)
+    assert cos > 0.999, cos

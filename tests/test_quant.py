@@ -469,7 +469,9 @@ def test_trained_model_fast_int8_miou_parity():
     # full fast-int8 stack, exactly as bench.py builds it
     cfg_f = fast_serving(cfg, quant="static_cal")
     assert cfg_f.vit.attn_impl == "flashlnq"
+    assert cfg_f.vit.ln_quant_fused  # pin the exact bench.py stack
     assert cfg_f.decoder_quant == "static_cal" and cfg_f.head_fused
+    assert cfg_f.decoder_conv_first
     mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
     vf = dict(trained)
     vf["params"] = quantize_tree(trained["params"], decoder=True,
@@ -483,3 +485,13 @@ def test_trained_model_fast_int8_miou_parity():
     assert miou_p > 0.7, (miou_p, final_loss)
     assert agree > 0.97, (agree, miou_p, miou_f)
     assert abs(miou_p - miou_f) < 0.03, (miou_p, miou_f)
+
+    # half-res-argmax serving mode (return_argmax=True: argmax at H/2
+    # + nearest x2 instead of bilinear-upsample-then-argmax) on the
+    # same fast stack: disagreements live only on class boundaries
+    pred_a = np.asarray(mf.apply(vf, val["image"], txt,
+                                 return_argmax=True))
+    miou_a = miou(pred_a, tgt)
+    agree_a = (pred_a == pred_f).mean()
+    assert agree_a > 0.97, (agree_a, miou_f, miou_a)
+    assert abs(miou_p - miou_a) < 0.03, (miou_p, miou_a)

@@ -4,6 +4,7 @@ KeepAspectResize policies, protocol presets, StepTimer."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from PIL import Image
 
 from lseg_tpu.data.transforms import KeepAspectResize
@@ -123,3 +124,49 @@ def test_precise_bn_recovers_exact_batch_moments():
         new_stats["bn"]["var"], np.asarray(x).var(0), rtol=1e-3,
         atol=1e-4,
     )
+
+
+def test_area_resize_matches_cv2_inter_area():
+    """area_resize == cv2.INTER_AREA to the uint8 rounding ulp on
+    downscale AND same-direction fractional upscale (the reference
+    Resize util's default interpolation, utils.py:211,332)."""
+    cv2 = pytest.importorskip("cv2")
+    from lseg_tpu.data.transforms import area_resize
+
+    rng = np.random.RandomState(0)
+    for (ih, iw), (oh, ow) in [((100, 150), (37, 53)),
+                               ((480, 640), (384, 512)),
+                               ((64, 64), (32, 32)),
+                               ((50, 75), (65, 98))]:
+        img = rng.randint(0, 256, (ih, iw, 3), np.uint8)
+        ref = cv2.resize(img, (ow, oh), interpolation=cv2.INTER_AREA)
+        got = area_resize(img, oh, ow)
+        assert got.shape == ref.shape
+        diff = np.abs(got.astype(int) - ref.astype(int))
+        assert diff.max() <= 1, ((ih, iw), (oh, ow), diff.max())
+    # grayscale 2-D path
+    img = rng.randint(0, 256, (41, 67), np.uint8)
+    ref = cv2.resize(img, (23, 17), interpolation=cv2.INTER_AREA)
+    got = area_resize(img, 17, 23)
+    assert np.abs(got.astype(int) - ref.astype(int)).max() <= 1
+
+
+def test_keep_aspect_resize_uses_area_filter():
+    """KeepAspectResize downscales with the INTER_AREA-equivalent
+    filter by default and still honors interpolation='bilinear'."""
+    cv2 = pytest.importorskip("cv2")
+    from lseg_tpu.data.transforms import KeepAspectResize
+
+    rng = np.random.RandomState(3)
+    arr = rng.randint(0, 256, (700, 900, 3), np.uint8)
+    img = Image.fromarray(arr)
+    r = KeepAspectResize(480, 480, resize_method="lower_bound")
+    out = np.asarray(r(img))
+    ow, oh = r.get_size(900, 700)
+    ref = cv2.resize(arr, (ow, oh), interpolation=cv2.INTER_AREA)
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
+
+    r_b = KeepAspectResize(480, 480, resize_method="lower_bound",
+                           interpolation="bilinear")
+    out_b = np.asarray(r_b(img))
+    assert out_b.shape == out.shape  # PIL path still available

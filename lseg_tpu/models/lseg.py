@@ -200,17 +200,23 @@ class LSegNet(nn.Module):
                 xq8, sxs = path1, head_sc
             elif act_sc is not None:
                 sxs = act_sc / 127.0
-                xq8 = jnp.clip(
-                    jnp.round(path1.astype(jnp.float32) / sxs),
-                    -127, 127).astype(jnp.int8)
+                if return_argmax:
+                    # transposed argmax kernel quantizes in-VMEM (same
+                    # round/clip/divide sequence -> bit-identical label
+                    # map); the (N, H, W, C) int8 copy never hits HBM
+                    xq8 = path1
+                else:
+                    xq8 = jnp.clip(
+                        jnp.round(path1.astype(jnp.float32) / sxs),
+                        -127, 127).astype(jnp.int8)
             else:
                 xq8, sxs = quantize_tensor(path1)
             if return_argmax:
                 from lseg_tpu.ops.pallas_correlation import (
-                    head1_correlate_argmax_fused,
+                    head1_correlate_argmax_fused_t,
                 )
 
-                pred = head1_correlate_argmax_fused(
+                pred = head1_correlate_argmax_fused_t(
                     xq8, sxs, kq, s1, b1, text_features,
                     logit_scale=cfg.logit_scale,
                 )

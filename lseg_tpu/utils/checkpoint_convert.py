@@ -624,3 +624,55 @@ def from_tp_layout(params, num_heads: int):
         return out
 
     return rec(params)
+
+
+# ---------------------------------------------------------------------------
+# serving-time position-embedding pre-resize
+# ---------------------------------------------------------------------------
+
+def presize_pos_embed(params, cfg: LSegConfig, h: int, w: int):
+    """Bake the pos-embed bilinear resize for a fixed crop into the
+    serving tree.
+
+    `DenseViT` resizes the stored (pretrain_grid²+1)-token position
+    embedding to the runtime (H/p, W/p) grid inside every forward
+    (reference semantics: _resize_pos_embed, lseg_vit.py:149-163,
+    align_corners=False). The resize result depends only on the params
+    and the static crop shape, but params are jit ARGUMENTS (CLAUDE.md
+    convention), so XLA re-runs the interp matmuls + grid-slice copies
+    every step (~0.4 ms/step at the flagship shape, profiled r4).
+
+    For fixed-crop serving this applies the identical resize ONCE on
+    host, returning (new_params, new_cfg) where new_cfg.vit carries
+    pretrain_grid == H/p so the in-model resize is skipped (exact same
+    embedding values — same resize_bilinear call). Requires a square
+    target grid; returns the inputs unchanged if the grid already
+    matches or is non-square.
+    """
+    import jax.numpy as jnp
+
+    from lseg_tpu.ops.resize import resize_bilinear
+
+    vit_cfg = cfg.vit
+    if vit_cfg is None:
+        return params, cfg
+    p = vit_cfg.patch_size
+    gh, gw = h // p, w // p
+    g0 = vit_cfg.pretrain_grid
+    if gh != gw or (gh, gw) == (g0, g0):
+        return params, cfg
+
+    vit = dict(params["vit"])
+    pos = jnp.asarray(vit["pos_embed"], jnp.float32)
+    d = pos.shape[-1]
+    pos_tok, pos_grid = pos[:, :1], pos[:, 1:]
+    pos_grid = pos_grid.reshape(1, g0, g0, d)
+    pos_grid = resize_bilinear(pos_grid, gh, gw, align_corners=False)
+    pos_grid = pos_grid.reshape(1, gh * gw, d)
+    vit["pos_embed"] = jnp.concatenate([pos_tok, pos_grid], axis=1)
+
+    import dataclasses
+
+    new_cfg = dataclasses.replace(
+        cfg, vit=dataclasses.replace(vit_cfg, pretrain_grid=gh))
+    return {**params, "vit": vit}, new_cfg

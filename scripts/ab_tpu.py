@@ -128,6 +128,32 @@ def _prep_int8_cal(v):
     return calibrate_act_scales(model, vv, x, None)
 
 
+def _cfg_int8_cfpp():
+    # bench config + pre-resized pos-embed (pretrain_grid == 480/16)
+    cfg = dataclasses.replace(_cfg_int8_lnq_lnf(),
+                              decoder_conv_first=True)
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, pretrain_grid=30))
+
+
+def _prep_int8_cal_pp(v):
+    """presize_pos_embed for the 480 crop, then the usual static-cal
+    quantize + calibration (through the presized model)."""
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    from lseg_tpu.utils.checkpoint_convert import presize_pos_embed
+
+    cfg0 = dataclasses.replace(_cfg_int8_lnq_lnf(),
+                               decoder_conv_first=True)
+    params, cfg = presize_pos_embed(v["params"], cfg0, 480, 480)
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    vv = {**v, "params": quantize_tree(params, decoder=True,
+                                       act_scale=True)}
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 480, 480, 3), jnp.float32)
+    return calibrate_act_scales(model, vv, x, None)
+
+
 def _cfg_int8_flashq():
     cfg = _cfg_int8_cal()
     return dataclasses.replace(
@@ -412,6 +438,11 @@ VARIANTS = {
                            fwd_fn=lambda model, cfg: (
                                lambda v, x, t: model.apply(
                                    v, x, t, return_argmax=True))),
+    # + pre-resized pos-embed baked into the serving tree (480 crop)
+    "int8_cfpp_hargmax": _mk(_cfg_int8_cfpp, prep=_prep_int8_cal_pp,
+                             fwd_fn=lambda model, cfg: (
+                                 lambda v, x, t: model.apply(
+                                     v, x, t, return_argmax=True))),
     "int8_tails": _mk(_cfg_int8_tails, prep=_prep_int8_cal),
     "int8_best_tails": _mk(_cfg_int8_best_tails, prep=_prep_int8_cal),
     "int8_best_frcu": _mk(_cfg_int8_best_frcu, prep=_prep_int8_cal),

@@ -810,3 +810,72 @@ def test_conv_first_commute_exact():
     cos = (la * lb).sum() / (np.linalg.norm(la) * np.linalg.norm(lb)
                              + 1e-9)
     assert cos > 0.999, cos
+
+
+def test_head1_argmax_t_kernel_matches_row_major():
+    """head1_correlate_argmax_fused_t (transposed correlation, dense
+    lane-major output, optional in-kernel quantize) == the row-major
+    argmax kernel on identical operands, for both int8 and bf16 inputs
+    (the bf16 path quantizes in-VMEM with the same divide/round/clip
+    sequence as the unfused XLA pass). Includes the all-negative-logit
+    K-pad masking case (sublane padding rows must never win)."""
+    from lseg_tpu.ops.pallas_correlation import (
+        head1_correlate_argmax_fused,
+        head1_correlate_argmax_fused_t,
+    )
+
+    rng = np.random.RandomState(7)
+    n, h, w, c, e, k = 2, 8, 16, 32, 24, 5
+    xb = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32) * 0.5
+                     ).astype(jnp.bfloat16)
+    sx = jnp.float32(0.037)
+    xq = jnp.clip(jnp.round(xb.astype(jnp.float32) / sx), -127, 127
+                  ).astype(jnp.int8)
+    w1q = jnp.asarray(
+        rng.randint(-127, 128, size=(1, 1, c, e)).astype(np.int8))
+    s1 = jnp.asarray(rng.rand(e).astype(np.float32) * 0.02)
+    b1 = jnp.asarray((rng.randn(e) - 2.0).astype(np.float32))
+    txt = jnp.asarray(rng.randn(k, e).astype(np.float32))
+
+    ref = np.asarray(head1_correlate_argmax_fused(
+        xq, sx, w1q, s1, b1, txt, tile_m=64, interpret=True))
+    got_q = np.asarray(head1_correlate_argmax_fused_t(
+        xq, sx, w1q, s1, b1, txt, tile_m=64, interpret=True))
+    got_b = np.asarray(head1_correlate_argmax_fused_t(
+        xb, sx, w1q, s1, b1, txt, tile_m=64, interpret=True))
+    assert got_q.shape == (n, h, w)
+    np.testing.assert_array_equal(got_q, ref)
+    np.testing.assert_array_equal(got_b, ref)
+
+
+def test_presize_pos_embed_exact():
+    """presize_pos_embed bakes the identical pos-embed resize into the
+    serving tree: forwards through (base cfg, base params) and
+    (presized cfg, presized params) agree to bf16 rounding, and the
+    presized model's in-jit resize branch is dead (pretrain_grid ==
+    runtime grid)."""
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.testing import tiny_vit_config
+    from lseg_tpu.utils.checkpoint_convert import presize_pos_embed
+
+    base = tiny_vit_config()
+    m = LSegNet(base, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(2)
+    x = jnp.asarray(rng.randn(1, 64, 64, 3).astype(np.float32))
+    txt = jnp.asarray(rng.randn(4, base.out_c).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x, txt)
+
+    params2, cfg2 = presize_pos_embed(v["params"], base, 64, 64)
+    g = 64 // base.vit.patch_size
+    assert cfg2.vit.pretrain_grid == g
+    assert params2["vit"]["pos_embed"].shape[1] == 1 + g * g
+    m2 = LSegNet(cfg2, dtype=jnp.bfloat16)
+
+    a = np.asarray(m.apply(v, x, txt), np.float32)
+    b = np.asarray(m2.apply({**dict(v), "params": params2}, x, txt),
+                   np.float32)
+    np.testing.assert_allclose(a, b, atol=5e-2, rtol=1e-2)
+
+    # same-grid call is a no-op passthrough
+    p3, c3 = presize_pos_embed(params2, cfg2, 64, 64)
+    assert p3 is params2 and c3 is cfg2

@@ -74,6 +74,11 @@ class ViTConfig:
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
     # head's softmax VPU work with the other's MXU matmuls)
     attn_variant: str = "v1"
+    # fused Pallas patchify+embed kernel (ops/pallas_patch.py): avoids
+    # XLA's lane-hostile patchify relayout (~0.45 -> ~0.3 ms at the
+    # flagship shape). fp32-reassociation delta <= 1 output bf16 ulp —
+    # fast-serving opt-in; the parity path keeps the XLA matmul form.
+    patch_fused: bool = False
     # q row-block size of the flat flash-attention kernel (the kernel
     # clamps to T; 1024 = single q block at the 480-crop T=901, the
     # measured best: 152.6 vs 145.8 (bq 256) img/s on v5e)
@@ -330,6 +335,7 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
             quant_int8="static" if quant else vit.quant_int8,
             ln_quant_fused=(bool(quant) or vit.ln_quant_fused)
             if use_flashflat else vit.ln_quant_fused,
+            patch_fused=True,
         )
     return dataclasses.replace(
         cfg, vit=vit, head_dtype="bfloat16",

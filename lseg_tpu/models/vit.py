@@ -303,15 +303,21 @@ class Attention(nn.Module):
             # exist in HBM, and no standalone LN op remains in the scan
             # body for XLA to peel (ops/pallas_attention.py).
             from lseg_tpu.ops.pallas_attention import (
-                flash_attention_ln_qkv_fused,
+                flash_attention_ln_qkv_fused_q8,
             )
+            from lseg_tpu.ops.quant import int8_matmul_prequant_act
 
             g, bln = ln
             kq, sw, b = _StaticDenseParams(3 * d, name="qkv")(d)
-            out = flash_attention_ln_qkv_fused(
+            # kernel emits the attention output already row-quantized
+            # (bit-identical to quantize_rows of the bf16 output), so
+            # proj's dynamic quantize never touches HBM
+            oq, os_ = flash_attention_ln_qkv_fused_q8(
                 x.astype(jnp.bfloat16), g, bln, kq, sw, b, h, scale,
                 valid_len=self.valid_len)
-            return _dense(d, self.dtype, "proj", self.quant)(out)
+            kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
+            return int8_matmul_prequant_act(oq, os_, kp, sp, bp,
+                                            out_dtype=self.dtype)
         if (self.impl == "flashqp" and flat_ok
                 and self.quant == "static" and resid is not None):
             # whole attention half-block in one kernel: int8 qkv ->
@@ -619,11 +625,16 @@ class BlockStack(nn.Module):
 
 class _PatchEmbed(nn.Module):
     """Stride-p patchify as an MXU matmul; identical params/math to
-    nn.Conv(d, (p, p), strides=(p, p), padding='VALID')."""
+    nn.Conv(d, (p, p), strides=(p, p), padding='VALID').
+
+    `fused=True` (serving opt-in, ViTConfig.patch_fused) runs the
+    Pallas patchify+embed kernel (`ops/pallas_patch.py`) — same math up
+    to fp32 reassociation of the per-patch-row partial sums."""
 
     dim: int
     patch: int
     dtype: Any = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -637,7 +648,14 @@ class _PatchEmbed(nn.Module):
         bias = self.param(
             "bias", nn.initializers.zeros, (self.dim,), jnp.float32
         )
-        xp = x.reshape(n, gh, p, gw, p, c).transpose(0, 1, 3, 2, 4, 5)
+        if self.fused and self.dtype == jnp.bfloat16:
+            from lseg_tpu.ops.pallas_patch import patch_embed_fused
+            return patch_embed_fused(x, kernel, bias, p, self.dim)
+        # keep (p*c) merged as the minor dim through the transpose: the
+        # 6-D form's (p, c) minor dims force a lane-hostile relayout
+        # copy (c=3 pads to 128 lanes); this form is bit-identical and
+        # measured ~0.1 ms faster at the flagship shape (r4)
+        xp = x.reshape(n, gh, p, gw, p * c).transpose(0, 1, 3, 2, 4)
         xp = xp.reshape(n, gh * gw, p * p * c)
         y = jnp.dot(
             xp.astype(self.dtype),
@@ -679,7 +697,8 @@ class DenseViT(nn.Module):
         # matmul is the identical computation at matmul speed. Param
         # tree unchanged (kernel (p, p, 3, D) + bias under
         # 'patch_embed', HWIO order matches the flattening).
-        x = _PatchEmbed(d, p, self.dtype, name="patch_embed")(x)
+        x = _PatchEmbed(d, p, self.dtype, fused=cfg.patch_fused,
+                        name="patch_embed")(x)
 
         cls = self.param(
             "cls_token", nn.initializers.zeros, (1, 1, d), jnp.float32

@@ -600,6 +600,146 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
+def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
+                      oq_ref, os_ref, xq_ref, sx_ref, obuf_ref,
+                      *, scale, t_valid, eps, pairs):
+    """`_kernel_ln_qkv` emitting the attention output PRE-QUANTIZED for
+    the int8 output projection: each pair's (T, 128) result accumulates
+    in a bf16 VMEM scratch; at the last pair step the full (T, D) block
+    is per-row quantized once (same fp32 amax/round/clip sequence as
+    `ops.quant.quantize_rows`, so the downstream proj matmul sees
+    bit-identical operands). The bf16 attention output and its int8
+    copy never exist in HBM — only (T, D) int8 + (T, 1) scales leave
+    the kernel, replacing the external quantize pass's full read+write
+    of the bf16 tensor per block."""
+    p_idx = pl.program_id(1)
+
+    @pl.when(p_idx == 0)
+    def _ln_quant():
+        xf = x_ref[0].astype(jnp.float32)              # (T, D)
+        mu = jnp.mean(xf, axis=1, keepdims=True)
+        xc = xf - mu
+        var = jnp.mean(xc * xc, axis=1, keepdims=True)
+        xn = xc * jax.lax.rsqrt(var + eps) * g_ref[0] + bln_ref[0]
+        amax = jnp.max(jnp.abs(xn), axis=1, keepdims=True)
+        sxr = jnp.maximum(amax, 1e-8) / 127.0
+        sx_ref[:] = sxr
+        xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
+                             -127, 127).astype(jnp.int8)
+
+    acc = jax.lax.dot_general(
+        xq_ref[:], w_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    qkv = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[0]
+           + b_ref[0]).astype(jnp.bfloat16)
+    q2 = qkv[:, 0:128]
+    k2 = qkv[:, 128:256]
+    v2 = qkv[:, 256:384]
+
+    outs = []
+    for h in (0, 1):
+        lo = h * _HD
+        s = jax.lax.dot_general(
+            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) * scale
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s, -jnp.inf)
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p, axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    obuf_ref[:, pl.ds(p_idx * 128, 128)] = jnp.concatenate(
+        outs, axis=1).astype(jnp.bfloat16)
+
+    @pl.when(p_idx == pairs - 1)
+    def _emit_q8():
+        of = obuf_ref[:].astype(jnp.float32)           # (T, D)
+        amax = jnp.max(jnp.abs(of), axis=1, keepdims=True)
+        so = jnp.maximum(amax, 1e-8) / 127.0
+        os_ref[0] = so
+        oq_ref[0] = jnp.clip(jnp.round(of / so),
+                             -127, 127).astype(jnp.int8)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("num_heads", "scale", "interpret",
+                              "valid_len", "eps"),
+)
+def flash_attention_ln_qkv_fused_q8(
+    x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
+    ln_scale: jnp.ndarray,  # (D,) fp32 LayerNorm scale
+    ln_bias: jnp.ndarray,   # (D,) fp32 LayerNorm bias
+    wq: jnp.ndarray,      # (D, 3D) int8 pre-quantized qkv kernel
+    sw: jnp.ndarray,      # (3D,) fp32 per-output-channel scales
+    bias: jnp.ndarray,    # (3D,) fp32
+    num_heads: int,
+    scale: float,
+    interpret: bool = None,
+    valid_len: int = None,
+    eps: float = 1e-6,
+):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
+    """`flash_attention_ln_qkv_fused` emitting (int8 output, row
+    scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`)."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    n, t, d = x.shape
+    hd = d // num_heads
+    assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
+    pairs = num_heads // 2
+
+    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
+    w3 = w3.reshape(pairs, d, 384)
+    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
+        pairs, 1, 384)
+
+    oq, os = pl.pallas_call(
+        functools.partial(_kernel_ln_qkv_q8, scale=scale,
+                          t_valid=valid_len or t, eps=eps,
+                          pairs=pairs),
+        grid=(n, pairs),
+        in_specs=[
+            pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
+            pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
+            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
+            pl.BlockSpec((1, t, 1), lambda ni, p: (ni, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, t, d), jnp.int8),
+            jax.ShapeDtypeStruct((n, t, 1), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((t, d), jnp.int8),
+            pltpu.VMEM((t, 1), jnp.float32),
+            pltpu.VMEM((t, d), jnp.bfloat16),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(x, ln_scale.astype(jnp.float32).reshape(1, d),
+      ln_bias.astype(jnp.float32).reshape(1, d),
+      w3, sw3.astype(jnp.float32), b3.astype(jnp.float32))
+    return oq, os
+
+
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
                               "valid_len", "eps"),

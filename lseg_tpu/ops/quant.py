@@ -64,6 +64,27 @@ def int8_matmul_prequant(x: jnp.ndarray, wq: jnp.ndarray,
     return y.reshape(*lead, wq.shape[-1]).astype(out_dtype)
 
 
+def int8_matmul_prequant_act(xq: jnp.ndarray, sx: jnp.ndarray,
+                             wq: jnp.ndarray, sw: jnp.ndarray,
+                             bias: jnp.ndarray | None = None,
+                             out_dtype=jnp.bfloat16) -> jnp.ndarray:
+    """`int8_matmul_prequant` with the ACTIVATIONS also pre-quantized
+    (int8 xq + per-row scales sx, e.g. emitted by a fused kernel).
+    Bias is added after the out_dtype cast, mirroring
+    `StaticQuantDense` exactly so results are bit-identical."""
+    lead = xq.shape[:-1]
+    y = jax.lax.dot_general(
+        xq.reshape(-1, xq.shape[-1]), wq,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    y = y.astype(jnp.float32) * sx.reshape(-1, 1) * sw.reshape(1, -1)
+    y = y.reshape(*lead, wq.shape[-1]).astype(out_dtype)
+    if bias is not None:
+        y = y + bias.astype(out_dtype)
+    return y
+
+
 def int8_matmul(x: jnp.ndarray, w: jnp.ndarray,
                 out_dtype=jnp.bfloat16) -> jnp.ndarray:
     """y = x @ w with both operands dynamically int8-quantized and an

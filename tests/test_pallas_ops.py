@@ -879,3 +879,34 @@ def test_presize_pos_embed_exact():
     # same-grid call is a no-op passthrough
     p3, c3 = presize_pos_embed(params2, cfg2, 64, 64)
     assert p3 is params2 and c3 is cfg2
+
+
+def test_patch_embed_fused_matches_matmul_form():
+    """ops/pallas_patch.patch_embed_fused == the flat patchify matmul
+    up to fp32 reassociation of the 16 per-patch-row partials (<= 1
+    output bf16 ulp), on a grid height NOT divisible by the preferred
+    row block (exercises patch_rows_per_step fallback)."""
+    from lseg_tpu.ops.pallas_patch import (
+        patch_embed_fused,
+        patch_rows_per_step,
+    )
+
+    rng = np.random.RandomState(5)
+    n, h, w, c, p, d = 2, 7 * 8, 7 * 8, 3, 8, 64
+    gh, gw = h // p, w // p
+    assert patch_rows_per_step(gh) == 7
+    x = jnp.asarray(rng.randn(n, h, w, c).astype(np.float32))
+    kern = jnp.asarray(rng.randn(p, p, c, d).astype(np.float32) * 0.05)
+    bias = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+
+    xp = x.reshape(n, gh, p, gw, p * c).transpose(0, 1, 3, 2, 4)
+    xp = xp.reshape(n, gh * gw, p * p * c)
+    ref = (jnp.dot(xp.astype(jnp.bfloat16),
+                   kern.reshape(p * p * c, d).astype(jnp.bfloat16),
+                   preferred_element_type=jnp.float32)
+           + bias).astype(jnp.bfloat16)
+    got = patch_embed_fused(x, kern, bias, p, d, interpret=True)
+    assert got.shape == (n, gh * gw, d)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(ref, np.float32),
+        atol=0.06, rtol=0.02)

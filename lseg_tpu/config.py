@@ -255,6 +255,32 @@ BACKBONES = {
     "clip_resnet101": LSegConfig(
         backbone="clip_resnet101", resnet=ResNetConfig()
     ),
+    # Test-only backbone (NOT in the reference CLI): a tiny ViT whose
+    # reference-format checkpoint fits in a few MB, so the
+    # real-checkpoint drill (tests/test_ckpt_drill.py) can exercise the
+    # FULL artifact path — Lightning zip-pickle .ckpt file -> converter
+    # -> forward -> parity_check.py / demo.py — in seconds. Every
+    # converter/loader line it runs is the same code the flagship
+    # checkpoints use.
+    "tiny_vit_test": LSegConfig(
+        backbone="tiny_vit_test",
+        features=32,
+        out_c=64,
+        vit=ViTConfig(
+            patch_size=16,
+            embed_dim=64,
+            depth=4,
+            num_heads=2,
+            hooks=(0, 1, 2, 3),
+            post_channels=(16, 32, 64, 64),
+            resample=(4.0, 2.0, 1.0, 0.5),
+            pretrain_grid=4,
+        ),
+        text=CLIPTextConfig(
+            vocab_size=1024, context_length=77, width=32, layers=2,
+            heads=2, embed_dim=64,
+        ),
+    ),
 }
 
 

@@ -148,3 +148,49 @@ def make_labelset_sharded_predictor(
         return _predict(variables, images, text_features)
 
     return predict
+
+
+def make_data_sharded_predictor(
+    model,
+    variables,
+    mesh,
+    axis: str = "data",
+) -> Callable:
+    """Batch-sharded multi-chip serving: every device runs the FULL
+    serving forward (incl. the fused Pallas kernels and the half-res
+    argmax head) on its local batch shard via `shard_map` — by
+    construction ZERO cross-device collectives, so img/s scales
+    linearly per chip. This replaces the reference's replicate-module +
+    one-thread-per-GPU eval dispatch
+    (reference: additional_utils/models.py:183-248).
+
+    Why shard_map and not plain jit-with-shardings: Pallas kernels are
+    opaque custom calls to XLA's SPMD partitioner, which replicates
+    them behind per-kernel all-gathers of the batch (census:
+    tests/test_parallel.py::test_data_sharded_serving_has_no_collectives).
+    shard_map sidesteps partitioning — the kernels trace at the LOCAL
+    batch shape and never see the mesh.
+
+    Batch must divide the axis size. Host-level callable; params are
+    jit arguments (module docstring convention).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    repl, psh = P(), P(axis)
+
+    def _local(v, x, t):
+        return model.apply(v, x, t, return_argmax=True)
+
+    pred_jit = jax.jit(jax.shard_map(
+        _local, mesh=mesh, in_specs=(repl, psh, repl), out_specs=psh,
+        check_vma=False,
+    ))
+
+    def predict(images, text_features):
+        n, nd = images.shape[0], mesh.shape[axis]
+        if n % nd:
+            raise ValueError(
+                f"batch {n} must divide the '{axis}' axis size {nd}")
+        return pred_jit(variables, images, text_features)
+
+    return predict

@@ -204,3 +204,98 @@ def test_labelset_sharded_predictor_matches_unsharded():
 
     with pytest.raises(ValueError, match="must divide"):
         pred(x, txt[:63])
+
+
+def test_data_sharded_serving_has_no_collectives():
+    """Multi-chip serving scales linearly per chip:
+    `make_data_sharded_predictor` (shard_map over the data axis, the
+    exact kernel gate set of bench.py's config: flashlnq +
+    ln_quant_fused + fused argmax head) compiles to a graph with NO
+    cross-device collectives, and reproduces the unsharded label map
+    exactly (VERDICT r3 item 9; replaces the reference's
+    replicate-and-thread eval dispatch,
+    additional_utils/models.py:183-248).
+
+    Plain jit-with-shardings is NOT collective-free here: Pallas
+    kernels are opaque to the SPMD partitioner, which replicates them
+    behind per-kernel all-gathers of the batch — that's why the
+    predictor exists."""
+    import dataclasses
+    import re
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from lseg_tpu.config import fast_serving
+    from lseg_tpu.engine.serve import make_data_sharded_predictor
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    base = tiny_vit_config()
+    # static_cal: calibrated (batch-independent) activation scales, as
+    # in bench.py — dynamic per-tensor scales would couple the batch
+    # (amax over a shard != global amax) and break shard exactness
+    cfg = fast_serving(
+        dataclasses.replace(
+            base, vit=dataclasses.replace(
+                base.vit, embed_dim=128, num_heads=2)),
+        quant="static_cal")
+    assert cfg.vit.attn_impl == "flashlnq" and cfg.vit.ln_quant_fused
+    assert cfg.vit.patch_fused and cfg.head_fused
+    m = LSegNet(cfg, dtype=jnp.bfloat16)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 64, 64, 3).astype(np.float32))
+    t = jnp.asarray(rng.randn(4, cfg.out_c).astype(np.float32))
+    cfg0 = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="xla",
+                                     quant_int8=False,
+                                     patch_fused=False),
+        decoder_quant=False)
+    v0 = LSegNet(cfg0, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, t)
+    vq = dict(v0)
+    vq["params"] = quantize_tree(v0["params"], decoder=True,
+                                 act_scale=True)
+    vq = calibrate_act_scales(m, vq, x, t)
+
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(8), ("data",))
+    pred = make_data_sharded_predictor(m, vq, mesh)
+
+    out = pred(x, t)
+    assert out.shape == (8, 64, 64)
+    # exact agreement vs the per-image LOCAL program (identical jaxpr
+    # to what each shard runs: jitted batch-1 apply). Batch-8 or eager
+    # programs are different XLA compilations whose reassociation can
+    # flip random-init argmax ties ~1%, so they are not the oracle.
+    jit1 = jax.jit(
+        lambda v, xx, tt: m.apply(v, xx, tt, return_argmax=True))
+    ref = np.concatenate([
+        np.asarray(jit1(vq, x[i:i + 1], t))
+        for i in range(x.shape[0])
+    ], axis=0)
+    np.testing.assert_array_equal(np.asarray(out), ref)
+
+    import jax as _jax
+
+    from jax.sharding import PartitionSpec as P
+
+    def _local(v, xx, tt):
+        return m.apply(v, xx, tt, return_argmax=True)
+
+    hlo_mods = _jax.jit(_jax.shard_map(
+        _local, mesh=mesh, in_specs=(P(), P("data"), P()),
+        out_specs=P("data"), check_vma=False,
+    )).lower(vq, x, t).compile().runtime_executable().hlo_modules()
+    hlo = "\n".join(mod.to_string() for mod in hlo_mods)
+    bad = re.findall(
+        r"\b(all-reduce|all-gather|reduce-scatter|collective-permute"
+        r"|all-to-all)\b", hlo)
+    assert not bad, f"cross-device collectives in serving graph: {set(bad)}"
+
+    import pytest
+
+    with pytest.raises(ValueError, match="must divide"):
+        pred(x[:3], t)

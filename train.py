@@ -75,13 +75,16 @@ def parse_args():
     p.add_argument("--dtype", default="bfloat16",
                    choices=["float32", "bfloat16"])
     p.add_argument("--flash-attn", dest="flash_attn",
-                   action="store_true",
+                   action=argparse.BooleanOptionalAction, default=True,
                    help="train with the flat-layout Pallas flash "
                         "attention kernel (custom VJP: scores stay in "
                         "VMEM both directions; grads match the XLA "
-                        "path, tests/test_pallas_ops.py). Requires "
-                        "head_dim 64 / even heads; falls back to XLA "
-                        "otherwise.")
+                        "path, tests/test_pallas_ops.py). DEFAULT ON: "
+                        "2.1x faster fwd+bwd on v5e (219.5 vs 466 "
+                        "ms/step at flagship batch 8, remat, "
+                        "scripts/train_ab.py r4). Requires head_dim "
+                        "64 / even heads; falls back to XLA "
+                        "otherwise; --no-flash-attn restores XLA.")
     return p.parse_args()
 
 

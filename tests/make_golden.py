@@ -69,8 +69,26 @@ def main_trained():
           f"final loss {final_loss:.4f}")
 
 
+def main_half_trained():
+    """Regenerate tests/golden/trained_tiny_half.npz — the HALF-trained
+    (600-step, softer-margin) checkpoint behind the int8 drift-bound
+    gate (tests/test_quant.py::test_half_trained_model_int8_drift_bound
+    — int8 error grows as margins soften; this pins the measured
+    soft-margin bound so regressions are caught)."""
+    from lseg_tpu.testing import save_tree_npz, train_tiny_checkpoint
+
+    trained, final_loss = train_tiny_checkpoint(steps=600)
+    path = os.path.join(os.path.dirname(__file__), "golden",
+                        "trained_tiny_half.npz")
+    save_tree_npz(path, trained)
+    print(f"wrote {path} ({os.path.getsize(path) / 1e6:.2f} MB), "
+          f"final loss {final_loss:.4f}")
+
+
 if __name__ == "__main__":
     if "--trained" in sys.argv:
         main_trained()
+    elif "--half" in sys.argv:
+        main_half_trained()
     else:
         main()

@@ -5,6 +5,7 @@ reference modules/models/lseg_net.py:185-196)."""
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 
 from lseg_tpu.ops.correlation import correlate
@@ -46,6 +47,7 @@ def test_correlate_fp16_emulation_matches_torch():
     assert np.max(np.abs(full - ours)) > 1e-6
 
 
+@pytest.mark.experimental
 def test_head1_upsample_argmax_kernel_matches_composition():
     """The fully fused serving head (int8 head1 + deferred-norm
     correlation + x2 align-corners upsample + argmax) must agree with
@@ -82,6 +84,7 @@ def test_head1_upsample_argmax_kernel_matches_composition():
     assert agree > 0.98, agree
 
 
+@pytest.mark.experimental
 def test_head1_wup_kernel_matches_composition():
     """head1_correlate_wup_fused (in-kernel x2 W-interp) must match
     head1_correlate_fused followed by a W-only bilinear resize."""

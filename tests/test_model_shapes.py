@@ -148,6 +148,7 @@ def test_all_registry_backbones_wire_up():
         assert out.dtype == jnp.float32, name
 
 
+@pytest.mark.experimental
 def test_single_scan_matches_segmented():
     """ViTConfig.single_scan=True (one whole-depth scan, taps gathered
     from the streamed ys) must reproduce the segmented model exactly on

@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from lseg_tpu.ops.correlation import correlate
 from lseg_tpu.ops.pallas_correlation import fused_correlate
@@ -31,6 +32,7 @@ def test_fused_correlate_bf16_input():
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.experimental
 def test_upsample2x_argmax_matches_xla():
     rng = np.random.RandomState(2)
     # H not a multiple of the tile, K not a multiple of 128
@@ -45,6 +47,7 @@ def test_upsample2x_argmax_matches_xla():
     assert agree >= 0.999, agree
 
 
+@pytest.mark.experimental
 def test_upsample2x_argmax_k_padding_masked():
     # all-negative logits: if padding lanes (zeros) leaked into the
     # argmax they would win — they must not
@@ -53,6 +56,7 @@ def test_upsample2x_argmax_k_padding_masked():
     np.testing.assert_array_equal(np.asarray(got), 1)
 
 
+@pytest.mark.experimental
 def test_serve_predictor_pallas_matches_xla():
     from lseg_tpu.engine.serve import make_predictor
     from lseg_tpu.models.lseg import LSegNet
@@ -90,6 +94,7 @@ def test_serve_predictor_arch_option_path():
     np.testing.assert_array_equal(np.asarray(pred), np.asarray(ref))
 
 
+@pytest.mark.experimental
 def test_pallas_dense_residual_matches_xla():
     from lseg_tpu.ops.pallas_dense import dense_residual
 
@@ -214,6 +219,7 @@ def test_densevit_flashflat_pad_matches_xla():
                                    rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.experimental
 def test_flash_attention_flat_v2_matches_v1():
     """Kernel interior variant v2 (stage-separated heads + exp2) is the
     same math as v1."""
@@ -359,6 +365,7 @@ def test_ln_quant_fused_block_matches_unfused():
         assert cos > 0.999, cos
 
 
+@pytest.mark.experimental
 def test_mlp_fused_matches_unfused():
     """mlp_fused=True (int8 fc1+GELU+requant+fc2+residual in one Pallas
     kernel) matches the unfused static-int8 path on the same tree."""
@@ -387,6 +394,7 @@ def test_mlp_fused_matches_unfused():
         assert cos > 0.999, cos
 
 
+@pytest.mark.experimental
 def test_flashqp_fused_matches_flashq():
     """attn_impl='flashqp' (qkv + flash + int8 proj + residual in one
     kernel) tracks the flashq path on the same tree."""
@@ -448,6 +456,7 @@ def test_head_fused_matches_unfused():
     assert cos > 0.999, cos
 
 
+@pytest.mark.experimental
 def test_upsample2x_argmax_v2_matches_xla():
     from lseg_tpu.ops.pallas_upsample_argmax import upsample2x_argmax_v2
 
@@ -465,6 +474,7 @@ def test_upsample2x_argmax_v2_matches_xla():
     assert agree_b >= 0.99, agree_b
 
 
+@pytest.mark.experimental
 def test_head_wup_matches_head_fused_model():
     """head_fused='wup' (in-kernel W-interp + XLA H-interp tail) must
     match head_fused=True (kernel + full XLA x2 upsample) at the model
@@ -538,6 +548,7 @@ def test_flashflat_vjp_grads_match_xla_attention():
             err_msg=jax.tree_util.keystr(path))
 
 
+@pytest.mark.experimental
 def test_fused_upsample_outconv_matches_xla_chain():
     """fused_upsample_outconv == upsample2x(bf16) -> quantize ->
     int8 1x1 conv, across multi-band grids (halo rows) and both output
@@ -586,6 +597,7 @@ def test_fused_upsample_outconv_matches_xla_chain():
     assert agree > 0.98, agree  # off-by-one rounding at bin edges only
 
 
+@pytest.mark.experimental
 def test_decoder_fused_tail_model_parity():
     """decoder_fused_tail=True (fused upsample+quantize+out_conv Pallas
     tails + int8 handoff to the fused head) matches the XLA
@@ -632,6 +644,7 @@ def test_decoder_fused_tail_model_parity():
     np.testing.assert_allclose(out_a, out_c, rtol=0.12, atol=0.12)
 
 
+@pytest.mark.experimental
 def test_fused_rcu_matches_int8_chain():
     """fused_rcu == relu -> q(s1) -> conv1 -> bn1 -> relu -> q(s2) ->
     conv2 -> bn2 -> +x with calibrated static scales (the XLA

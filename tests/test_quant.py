@@ -495,3 +495,84 @@ def test_trained_model_fast_int8_miou_parity():
     agree_a = (pred_a == pred_f).mean()
     assert agree_a > 0.97, (agree_a, miou_f, miou_a)
     assert abs(miou_p - miou_a) < 0.03, (miou_p, miou_a)
+
+
+def test_half_trained_model_int8_drift_bound():
+    """Second gate on the fast-int8 stack (VERDICT r3 item 5): the
+    HALF-trained tiny model (600 steps, val mIoU ~0.80 — soft margins)
+    shows measurably larger int8 drift than the converged one (r3
+    measured delta 0.062 / agreement 0.96 vs <0.03 / >0.97). This
+    pins that soft-margin bound so a quantization regression cannot
+    hide behind the converged gate's sharp margins. The quantified
+    'calibrate per checkpoint' trigger table lives in
+    docs/PERFORMANCE.md."""
+    import os
+
+    from lseg_tpu.data.synthetic import SyntheticSegDataset
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    base = tiny_vit_config()
+    cfg = dataclasses.replace(
+        base, vit=dataclasses.replace(base.vit, embed_dim=128,
+                                      num_heads=2))
+    nc, n_train = 4, 128
+    ds = SyntheticSegDataset(n=n_train + 8, size=64, num_classes=nc)
+
+    def stack(lo, hi):
+        return {
+            "image": jnp.asarray(
+                np.stack([ds[i]["image"] for i in range(lo, hi)])),
+            "target": jnp.asarray(
+                np.stack([ds[i]["target"] for i in range(lo, hi)])),
+        }
+
+    cal = stack(0, 4)
+    val = stack(n_train, n_train + 4)
+    rng = np.random.RandomState(0)
+    txt = jnp.asarray(rng.randn(nc, cfg.out_c).astype(np.float32))
+
+    ckpt = os.path.join(os.path.dirname(__file__), "golden",
+                        "trained_tiny_half.npz")
+    if os.path.exists(ckpt):
+        from lseg_tpu.testing import load_tree_npz
+
+        trained = load_tree_npz(ckpt)
+    else:
+        from lseg_tpu.testing import save_tree_npz, train_tiny_checkpoint
+
+        trained, _ = train_tiny_checkpoint(steps=600)
+        save_tree_npz(ckpt, trained)
+
+    def miou(pred, tgt):
+        ious = []
+        for c in range(nc):
+            inter = ((pred == c) & (tgt == c)).sum()
+            union = ((pred == c) | (tgt == c)).sum()
+            if union:
+                ious.append(inter / union)
+        return float(np.mean(ious))
+
+    tgt = np.asarray(val["target"])
+    mp = LSegNet(cfg, dtype=jnp.bfloat16)
+    pred_p = np.asarray(jnp.argmax(
+        mp.apply(trained, val["image"], txt), -1))
+    miou_p = miou(pred_p, tgt)
+    # half-trained regime: learned the task but short of convergence
+    assert 0.5 < miou_p < 0.92, miou_p
+
+    cfg_f = fast_serving(cfg, quant="static_cal")
+    mf = LSegNet(cfg_f, dtype=jnp.bfloat16)
+    vf = dict(trained)
+    vf["params"] = quantize_tree(trained["params"], decoder=True,
+                                 act_scale=True)
+    vf = calibrate_act_scales(mf, vf, cal["image"], txt)
+    pred_f = np.asarray(jnp.argmax(
+        mf.apply(vf, val["image"], txt), -1))
+    miou_f = miou(pred_f, tgt)
+
+    agree = (pred_p == pred_f).mean()
+    # soft-margin bounds: the r3 measurement (delta 0.062, agreement
+    # 0.96) with headroom; a regression past these means the int8
+    # stack got meaningfully worse on realistic mid-training margins
+    assert agree > 0.93, (agree, miou_p, miou_f)
+    assert abs(miou_p - miou_f) < 0.09, (miou_p, miou_f)

@@ -162,8 +162,15 @@ class LSegConfig:
     # fused head1+correlation Pallas kernel (int8 1x1 projection +
     # deferred-norm cosine logits in one VMEM pass; the (N,H/2,W/2,E)
     # embedding map never hits HBM). Needs decoder_quant static* and
-    # head_dtype bfloat16; falls back otherwise.
-    head_fused: bool = False
+    # head_dtype bfloat16; falls back otherwise. Values: False | True |
+    # 'wup' (in-kernel W-interp; measured dead end) | 'lowres' (argmax
+    # serving only, needs decoder_conv_first: head1+correlate run at
+    # H/4 on refinenet1's PRE-upsample output and only the (.., K)
+    # logit map is x2-upsampled before the argmax — the upsample and
+    # the head matmuls commute exactly, and the skipped per-pixel norm
+    # is argmax-invariant; 30.4 vs 31.3 ms/b8 interleaved r4.
+    # Non-argmax calls behave as True).
+    head_fused: Any = False
     # fused upsample2x + quantize + 1x1 out_conv Pallas kernel for the
     # FeatureFusionBlock tails (ops/pallas_decoder). Serving knob:
     # requires decoder_quant='static_cal' (the quantize grid must be a
@@ -367,8 +374,10 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
         cfg, vit=vit, head_dtype="bfloat16",
         decoder_quant=quant if quant else cfg.decoder_quant,
         # fused int8 head1+correlation kernel (215.0 vs 208.5 img/s —
-        # the pixel-embedding map never hits HBM); needs the int8 tree
-        head_fused=bool(quant),
+        # the pixel-embedding map never hits HBM); needs the int8 tree.
+        # 'lowres': in argmax serving the correlation runs at H/4 and
+        # only the logit map upsamples (30.4 vs 31.3 ms/b8, r4)
+        head_fused="lowres" if quant else False,
         # refinenet1 out_conv BEFORE its x2 upsample (exact linear
         # commute): 33.68 vs 34.76 ms/b8 interleaved (r4), and 32.56
         # combined with the half-res-argmax serving head

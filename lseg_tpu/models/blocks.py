@@ -304,6 +304,11 @@ class FeatureFusionBlock(nn.Module):
     # one of the two int8 relayout copies at 240 res. Non-default: the
     # parity path keeps the reference op order (lseg_blocks.py:341-357).
     conv_first: bool = False
+    # With conv_first: skip the trailing x2 upsample entirely and
+    # return the LOW-RES conv output — the lowres-correlation serving
+    # head pushes the upsample past the correlation matmul (linear
+    # commute; models/lseg.py head_fused='lowres').
+    skip_out_upsample: bool = False
 
     @nn.compact
     def __call__(
@@ -325,6 +330,8 @@ class FeatureFusionBlock(nn.Module):
             x = _conv(
                 self.features, (1, 1), self.quant, self.dtype, "out_conv"
             )(x)
+            if self.skip_out_upsample:
+                return x
             return upsample2x(x, align_corners=True,
                               compute_dtype=(self.dtype
                                              if self.quant in

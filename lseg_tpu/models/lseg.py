@@ -174,9 +174,21 @@ class LSegNet(nn.Module):
             )(cfg.features)
             head_sc = act_sc / 127.0
 
+        # lowres-correlation serving head (head_fused='lowres', argmax
+        # mode): refinenet1 returns its PRE-upsample conv output, the
+        # head projects+correlates on 4x fewer pixels, and only the
+        # (.., K) logit map is x2-upsampled before the argmax. Exact
+        # commute: the upsample and the head matmuls are both linear,
+        # and the skipped per-pixel norm is argmax-invariant at the
+        # upsampled resolution.
+        use_lowres_head = (
+            use_head_fused and cfg.head_fused == "lowres"
+            and cfg.decoder_conv_first and return_argmax
+        )
         path1 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
-            conv_first=cfg.decoder_conv_first, name="refinenet1"
+            conv_first=cfg.decoder_conv_first,
+            skip_out_upsample=use_lowres_head, name="refinenet1"
         )(path2, rn[0], train, out_int8_scale=head_sc)
 
         if use_head_fused:
@@ -200,7 +212,7 @@ class LSegNet(nn.Module):
                 xq8, sxs = path1, head_sc
             elif act_sc is not None:
                 sxs = act_sc / 127.0
-                if return_argmax:
+                if return_argmax and not use_lowres_head:
                     # transposed argmax kernel quantizes in-VMEM (same
                     # round/clip/divide sequence -> bit-identical label
                     # map); the (N, H, W, C) int8 copy never hits HBM
@@ -211,6 +223,20 @@ class LSegNet(nn.Module):
                         -127, 127).astype(jnp.int8)
             else:
                 xq8, sxs = quantize_tensor(path1)
+            if use_lowres_head:
+                from lseg_tpu.ops.pallas_correlation import (
+                    head1_correlate_fused,
+                )
+
+                s_lo = head1_correlate_fused(
+                    xq8, sxs, kq, s1, b1, text_features,
+                    logit_scale=cfg.logit_scale, normalize=False,
+                )  # (N, H/4, W/4, K) raw e@Tn scores
+                up = upsample2x(s_lo, align_corners=True,
+                                compute_dtype=jnp.bfloat16)
+                pred = jnp.argmax(up.astype(jnp.float32),
+                                  axis=-1).astype(jnp.int32)
+                return pred if return_halfres else _nearest2x(pred)
             if return_argmax:
                 from lseg_tpu.ops.pallas_correlation import (
                     head1_correlate_argmax_fused_t,

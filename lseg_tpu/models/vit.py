@@ -312,9 +312,15 @@ class Attention(nn.Module):
             # kernel emits the attention output already row-quantized
             # (bit-identical to quantize_rows of the bf16 output), so
             # proj's dynamic quantize never touches HBM
+            # in-kernel softmax stays fp32: the bf16-scores variant
+            # (scores_dtype=self.scores_dtype) measured WORSE end to
+            # end (32.0 vs 31.3 ms/b8 interleaved, r4 — the f32->bf16
+            # cast pass costs more than the bf16 VPU chain saves);
+            # kept as a kernel knob + ab_tpu int8_cf_f32s evidence
             oq, os_ = flash_attention_ln_qkv_fused_q8(
                 x.astype(jnp.bfloat16), g, bln, kq, sw, b, h, scale,
-                valid_len=self.valid_len)
+                valid_len=self.valid_len,
+                qk_int8=self.kernel_variant == "i8qk")
             kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
             return int8_matmul_prequant_act(oq, os_, kp, sp, bp,
                                             out_dtype=self.dtype)

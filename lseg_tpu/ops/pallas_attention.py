@@ -161,6 +161,66 @@ def flash_attention_flat(
     return out
 
 
+def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
+                            qk_int8=False):
+    """Shared two-head interior of the fused qkv kernels: per head,
+    QK^T -> masked single-pass softmax -> PV, returning the (T, 128)
+    pair output in fp32. `scores_dtype` sets the score/softmax compute
+    dtype: fp32 (parity-leaning default) or bf16 — the same knob as
+    `ViTConfig.attn_scores_dtype` on the XLA path (measured WORSE end
+    to end on v5e: the f32->bf16 cast pass costs more than the bf16
+    VPU chain saves; kept as evidence/knob). `qk_int8` re-quantizes
+    q/k per row in VMEM and runs QK^T on the int8 MXU at 2x the bf16
+    rate; the rank-1 dequant (sq_i * sk_j) folds into the score scale
+    pass."""
+    q2 = qkv[:, 0:128]
+    k2 = qkv[:, 128:256]
+    v2 = qkv[:, 256:384]
+    outs = []
+    for h in (0, 1):
+        lo = h * _HD
+        qh = q2[:, lo: lo + _HD]
+        kh = k2[:, lo: lo + _HD]
+        if qk_int8:
+            qf = qh.astype(jnp.float32)
+            sq = jnp.maximum(jnp.max(jnp.abs(qf), axis=1,
+                                     keepdims=True), 1e-8) / 127.0
+            qi = jnp.clip(jnp.round(qf / sq), -127, 127
+                          ).astype(jnp.int8)
+            kf = kh.astype(jnp.float32)
+            sk = jnp.maximum(jnp.max(jnp.abs(kf), axis=1,
+                                     keepdims=True), 1e-8) / 127.0
+            ki = jnp.clip(jnp.round(kf / sk), -127, 127
+                          ).astype(jnp.int8)
+            s = jax.lax.dot_general(
+                qi, ki, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32) * ((sq * scale)
+                                     * sk.reshape(1, -1))
+        else:
+            # MXU accumulates fp32 (Mosaic requires a 32-bit acc); the
+            # scores then drop to `scores_dtype` for the VPU softmax
+            s = jax.lax.dot_general(
+                qh, kh,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(scores_dtype) * jnp.asarray(scale, scores_dtype)
+        if s.shape[1] != t_valid:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < t_valid, s,
+                          jnp.asarray(-jnp.inf, s.dtype))
+        m = jnp.max(s, axis=1, keepdims=True)
+        p = jnp.exp(s - m)
+        l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        o = jax.lax.dot_general(
+            p.astype(v2.dtype), v2[:, lo: lo + _HD],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        outs.append(o / l)
+    return jnp.concatenate(outs, axis=1)
+
+
 def _kernel_qkv(xq_ref, sx_ref, w_ref, sw_ref, b_ref, out_ref,
                 *, scale, t_valid):
     """Fused int8 qkv-projection + two-head flash attention.
@@ -602,7 +662,8 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
 
 def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
                       oq_ref, os_ref, xq_ref, sx_ref, obuf_ref,
-                      *, scale, t_valid, eps, pairs):
+                      *, scale, t_valid, eps, pairs,
+                      scores_dtype=jnp.float32, qk_int8=False):
     """`_kernel_ln_qkv` emitting the attention output PRE-QUANTIZED for
     the int8 output projection: each pair's (T, 128) result accumulates
     in a bf16 VMEM scratch; at the last pair step the full (T, D) block
@@ -634,32 +695,9 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
     )
     qkv = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[0]
            + b_ref[0]).astype(jnp.bfloat16)
-    q2 = qkv[:, 0:128]
-    k2 = qkv[:, 128:256]
-    v2 = qkv[:, 256:384]
-
-    outs = []
-    for h in (0, 1):
-        lo = h * _HD
-        s = jax.lax.dot_general(
-            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if s.shape[1] != t_valid:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < t_valid, s, -jnp.inf)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v2.dtype), v2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o / l)
-    obuf_ref[:, pl.ds(p_idx * 128, 128)] = jnp.concatenate(
-        outs, axis=1).astype(jnp.bfloat16)
+    obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
+        qkv, scale, t_valid, scores_dtype,
+        qk_int8=qk_int8).astype(jnp.bfloat16)
 
     @pl.when(p_idx == pairs - 1)
     def _emit_q8():
@@ -673,7 +711,8 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
 
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
-                              "valid_len", "eps"),
+                              "valid_len", "eps", "scores_dtype",
+                              "qk_int8"),
 )
 def flash_attention_ln_qkv_fused_q8(
     x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
@@ -687,9 +726,13 @@ def flash_attention_ln_qkv_fused_q8(
     interpret: bool = None,
     valid_len: int = None,
     eps: float = 1e-6,
+    scores_dtype=jnp.float32,
+    qk_int8: bool = False,
 ):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
     """`flash_attention_ln_qkv_fused` emitting (int8 output, row
-    scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`)."""
+    scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`).
+    `scores_dtype=bf16` mirrors `ViTConfig.attn_scores_dtype` (the fast
+    config's XLA-path precision) inside the kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, t, d = x.shape
@@ -707,7 +750,8 @@ def flash_attention_ln_qkv_fused_q8(
     oq, os = pl.pallas_call(
         functools.partial(_kernel_ln_qkv_q8, scale=scale,
                           t_valid=valid_len or t, eps=eps,
-                          pairs=pairs),
+                          pairs=pairs, scores_dtype=scores_dtype,
+                          qk_int8=qk_int8),
         grid=(n, pairs),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),

@@ -108,7 +108,7 @@ def fused_correlate(
 
 
 def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps,
-                  k_out):
+                  k_out, normalize=True):
     """One row tile: int8 head1 1x1 conv (as a matmul) -> pixel
     embedding tile in VMEM -> deferred-norm correlation against the
     resident text matrix. The (M, E) embedding map never exists in HBM
@@ -132,7 +132,8 @@ def _head1_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *, eps,
     # write the UNPADDED K directly: the (mp, K) output bitcasts to
     # (N, H, W, K) for free, where slicing a 128-padded output costs a
     # 0.65 ms relayout copy at the flagship shape (HLO: copy.80)
-    o_ref[:] = (lo * inv).astype(o_ref.dtype)[:, :k_out]
+    o_ref[:] = ((lo * inv) if normalize else lo
+                ).astype(o_ref.dtype)[:, :k_out]
 
 
 def _head1_up_argmax_kernel(
@@ -625,7 +626,8 @@ def head1_correlate_argmax_fused_t(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret",
+                              "normalize")
 )
 def head1_correlate_fused(
     xq: jnp.ndarray,      # (N, H, W, C) int8 — quantized path1
@@ -637,10 +639,18 @@ def head1_correlate_fused(
     logit_scale: float = 1.0 / 0.07,
     tile_m: int = 512,
     interpret: bool = None,
+    normalize: bool = True,
 ) -> jnp.ndarray:         # (N, H, W, K) bf16 deferred-norm logits
     """Fused int8 head1 projection + temperature-scaled deferred-norm
     correlation (reference: modules/models/lseg_net.py:185-196 with the
-    exact (e/|e|)*t == (e*t)/|e| reassociation of the fast head)."""
+    exact (e/|e|)*t == (e*t)/|e| reassociation of the fast head).
+
+    `normalize=False` skips the per-pixel |e| division (raw e @ Tn
+    scores) — the lowres-correlation serving head uses it: the division
+    does not commute with the x2 upsample, but argmax at the upsampled
+    resolution is invariant to the per-pixel positive factor, so the
+    label map is unchanged while the correlation runs on 4x fewer
+    pixels."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, w, c = xq.shape
@@ -663,7 +673,8 @@ def head1_correlate_fused(
     sc = (sx.astype(jnp.float32).reshape(1, 1)
           * s1.astype(jnp.float32).reshape(1, e_dim))
     out = pl.pallas_call(
-        functools.partial(_head1_kernel, eps=1e-24, k_out=k),
+        functools.partial(_head1_kernel, eps=1e-24, k_out=k,
+                          normalize=normalize),
         grid=(mp // tile_m,),
         in_specs=[
             pl.BlockSpec((tile_m, c), lambda i: (i, 0),

@@ -438,6 +438,28 @@ VARIANTS = {
                            fwd_fn=lambda model, cfg: (
                                lambda v, x, t: model.apply(
                                    v, x, t, return_argmax=True))),
+    # lowres-correlation head: head1+correlate at H/4, upsample the
+    # K-logit map, argmax at H/2 (exact linear commute; norm skipped,
+    # argmax-invariant)
+    "int8_cf_lowres": _mk(lambda: dataclasses.replace(
+                              _cfg_int8_lnq_lnf(),
+                              decoder_conv_first=True,
+                              head_fused="lowres"),
+                          prep=_prep_int8_cal,
+                          fwd_fn=lambda model, cfg: (
+                              lambda v, x, t: model.apply(
+                                  v, x, t, return_argmax=True))),
+    # + int8 QK inside the lnq kernel (per-row requantized q/k)
+    "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
+                            c, vit=dataclasses.replace(
+                                c.vit, attn_variant="i8qk")))(
+                            dataclasses.replace(
+                                _cfg_int8_lnq_lnf(),
+                                decoder_conv_first=True)),
+                        prep=_prep_int8_cal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
     # + pre-resized pos-embed baked into the serving tree (480 crop)
     "int8_cfpp_hargmax": _mk(_cfg_int8_cfpp, prep=_prep_int8_cal_pp,
                              fwd_fn=lambda model, cfg: (

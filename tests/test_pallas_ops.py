@@ -923,3 +923,98 @@ def test_patch_embed_fused_matches_matmul_form():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(ref, np.float32),
         atol=0.06, rtol=0.02)
+
+
+@pytest.mark.experimental
+def test_flashlnq_scores_dtype_and_i8qk_variants_agree():
+    """Measured-dead-end kernel knobs (kept as infrastructure, r4):
+    bf16 in-kernel softmax scores and int8-requantized QK both LOSE end
+    to end on v5e but remain selectable on
+    flash_attention_ln_qkv_fused_q8 — pin that their outputs stay close
+    to the fp32-scores default (both change only score precision; the
+    label-level effect is bounded by the model drift gates when
+    enabled)."""
+    from lseg_tpu.ops.pallas_attention import (
+        flash_attention_ln_qkv_fused_q8,
+    )
+
+    rng = np.random.RandomState(0)
+    n, t, d, heads = 1, 32, 128, 2
+    x = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(1 + 0.1 * rng.randn(d).astype(np.float32))
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rng.randint(-127, 128, (d, 3 * d)).astype(np.int8))
+    sw = jnp.asarray(rng.rand(3 * d).astype(np.float32) * 0.01)
+    bias = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.05)
+
+    def run(**kw):
+        oq, os = flash_attention_ln_qkv_fused_q8(
+            x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
+            interpret=True, **kw)
+        return (np.asarray(oq, np.float32)
+                * np.asarray(os, np.float32))
+
+    ref = run()
+    # bounds measured on this fixture: bf16 scores + the int8 output
+    # requantize compound to ~6%; int8 QK's score error scales with
+    # |logit| (large on random data — exp amplifies it; trained-model
+    # margins are the realistic gate) ~16%
+    for kw, bound in (({"scores_dtype": jnp.bfloat16}, 0.08),
+                      ({"qk_int8": True}, 0.25)):
+        got = run(**kw)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < bound, (kw, err)
+
+
+def test_lowres_head_matches_standard_argmax_head():
+    """head_fused='lowres' (head1+correlate at H/4 on refinenet1's
+    pre-upsample output, x2 logit upsample, argmax at H/2): the label
+    map matches the standard fused argmax head up to bf16
+    interp-rounding tie flips — the upsample and the head matmuls
+    commute exactly, and the skipped per-pixel norm is argmax-invariant
+    at the upsampled resolution."""
+    import dataclasses
+
+    from lseg_tpu.config import fast_serving
+    from lseg_tpu.models.lseg import LSegNet
+    from lseg_tpu.ops.quant import calibrate_act_scales, quantize_tree
+    from lseg_tpu.testing import tiny_vit_config
+
+    base = tiny_vit_config()
+    cfg = fast_serving(
+        dataclasses.replace(
+            base, vit=dataclasses.replace(base.vit, embed_dim=128,
+                                          num_heads=2)),
+        quant="static_cal")
+    assert cfg.head_fused == "lowres" and cfg.decoder_conv_first
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 64, 64, 3).astype(np.float32))
+    t = jnp.asarray(rng.randn(5, cfg.out_c).astype(np.float32))
+    cfg0 = dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, attn_impl="xla",
+                                     quant_int8=False,
+                                     patch_fused=False),
+        decoder_quant=False)
+    v0 = LSegNet(cfg0, dtype=jnp.bfloat16).init(
+        jax.random.PRNGKey(0), x, t)
+    vq = dict(v0)
+    vq["params"] = quantize_tree(v0["params"], decoder=True,
+                                 act_scale=True)
+    m_lo = LSegNet(cfg, dtype=jnp.bfloat16)
+    vq = calibrate_act_scales(m_lo, vq, x, t)
+
+    cfg_std = dataclasses.replace(cfg, head_fused=True)
+    m_std = LSegNet(cfg_std, dtype=jnp.bfloat16)
+    pred_std = np.asarray(m_std.apply(vq, x, t, return_argmax=True))
+    pred_lo = np.asarray(m_lo.apply(vq, x, t, return_argmax=True))
+    assert pred_lo.shape == pred_std.shape == (2, 64, 64)
+    agree = (pred_lo == pred_std).mean()
+    # random-init margins are ~zero; bf16 rounding-order flips only
+    assert agree > 0.97, agree
+
+    # non-argmax calls through a 'lowres' config behave as the standard
+    # fused head (full-res logits, normalized)
+    lo_full = np.asarray(m_lo.apply(vq, x, t), np.float32)
+    std_full = np.asarray(m_std.apply(vq, x, t), np.float32)
+    np.testing.assert_array_equal(lo_full, std_full)

@@ -596,6 +596,9 @@ class BlockStack(nn.Module):
     mlp_fused: bool = False
     ln_quant_fused: bool = False
     emit_ys: bool = False
+    # lax.scan unroll factor (ViTConfig.scan_unroll): >= n removes the
+    # while loop (no peel, no weight-slice copies); params stay stacked
+    scan_unroll: int = 1
 
     @nn.compact
     def __call__(self, x: jnp.ndarray):
@@ -606,6 +609,7 @@ class BlockStack(nn.Module):
             variable_axes={"params": 0},
             split_rngs={"params": True},
             length=self.n,
+            unroll=min(self.scan_unroll, self.n),
             metadata_params={nn.meta.PARTITION_NAME: None},
         )
         x, ys = scan(
@@ -766,6 +770,7 @@ class DenseViT(nn.Module):
             kernel_variant=cfg.attn_variant,
             mlp_fused=cfg.mlp_fused,
             ln_quant_fused=cfg.ln_quant_fused,
+            scan_unroll=cfg.scan_unroll,
         )
         taps: List[jnp.ndarray] = []
         if cfg.single_scan:

@@ -449,6 +449,19 @@ VARIANTS = {
                           fwd_fn=lambda model, cfg: (
                               lambda v, x, t: model.apply(
                                   v, x, t, return_argmax=True))),
+    # + fully unrolled segment scans (no XLA while loop: no peel, no
+    # per-iteration weight-slice copies; params stay stacked)
+    "int8_cf_unroll": _mk(lambda: (lambda c: dataclasses.replace(
+                              c, vit=dataclasses.replace(
+                                  c.vit, scan_unroll=8)))(
+                              dataclasses.replace(
+                                  _cfg_int8_lnq_lnf(),
+                                  decoder_conv_first=True,
+                                  head_fused="lowres")),
+                          prep=_prep_int8_cal,
+                          fwd_fn=lambda model, cfg: (
+                              lambda v, x, t: model.apply(
+                                  v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(

@@ -70,6 +70,16 @@ class ViTConfig:
     # otherwise). Pairs with attn_impl='flashlnq', which fuses LN1 into
     # the attention kernel.
     ln_quant_fused: bool = False
+    # calibrated static per-tensor int8 scale for the MLP GELU hidden
+    # (the `act_scale` block param, filled by
+    # ops.quant.calibrate_act_scales): fc1's epilogue emits int8
+    # directly, removing the (N*T, 4D) bf16 round trip + the separate
+    # row-max/convert pass of the dynamic per-row path. Active only in
+    # the ln_quant_fused static branch; calibration forwards keep the
+    # exact dynamic math. Accuracy class: static PTQ (same as
+    # decoder_quant='static_cal') — covered by the trained-model mIoU
+    # gates.
+    mlp_act_cal: bool = False
     # flat flash kernel interior variant: 'v1' (per-head chains) or
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
     # head's softmax VPU work with the other's MXU matmuls)
@@ -374,6 +384,11 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
             quant_int8="static" if quant else vit.quant_int8,
             ln_quant_fused=(bool(quant) or vit.ln_quant_fused)
             if use_flashflat else vit.ln_quant_fused,
+            # calibrated static MLP-hidden act scale (needs the
+            # static_cal calibration pass): fc1 emits int8 directly —
+            # 29.35 vs 29.86 ms/b8 interleaved (r4)
+            mlp_act_cal=(quant == "static_cal" and use_flashflat)
+            or vit.mlp_act_cal,
             patch_fused=True,
             # fully unroll the segment scans (hook segments are <= 8
             # blocks on every registered backbone): no XLA while loop,

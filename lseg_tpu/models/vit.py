@@ -477,6 +477,7 @@ class Block(nn.Module):
     kernel_variant: str = "v1"
     mlp_fused: bool = False
     ln_quant_fused: bool = False
+    mlp_act_cal: bool = False
     emit_y: bool = False
 
     @nn.compact
@@ -534,9 +535,37 @@ class Block(nn.Module):
             h = jax.nn.gelu(h, approximate=(self.gelu == "tanh"))
             from lseg_tpu.ops.quant import int8_matmul_prequant
 
-            x2 = x2 + (int8_matmul_prequant(
-                h, k2, s2, out_dtype=self.dtype)
-                + bb2.astype(self.dtype))
+            if self.mlp_act_cal:
+                # calibrated static per-tensor scale for the GELU
+                # hidden (ViTConfig.mlp_act_cal): fc1's epilogue emits
+                # int8 directly, removing the (N*T, 4D) bf16 round
+                # trip + the separate row-max/convert pass of the
+                # dynamic path. Calibration forwards (mutable
+                # 'quant_cal') sow the running amax and keep the exact
+                # dynamic math, mirroring StaticQuantConv(static_act).
+                act = self.param("act_scale", nn.initializers.ones,
+                                 (), jnp.float32)
+                if self.is_mutable_collection("quant_cal"):
+                    amax = jnp.max(jnp.abs(h.astype(jnp.float32)))
+                    self.sow("quant_cal", "amax", amax,
+                             init_fn=lambda: jnp.float32(0.0),
+                             reduce_fn=jnp.maximum)
+                    x2 = x2 + (int8_matmul_prequant(
+                        h, k2, s2, out_dtype=self.dtype)
+                        + bb2.astype(self.dtype))
+                else:
+                    sh = jnp.maximum(act, 1e-8) / 127.0
+                    hq = jnp.clip(
+                        jnp.round(h.astype(jnp.float32) / sh),
+                        -127, 127).astype(jnp.int8)
+                    x2 = x2 + (int8_matmul_preact(
+                        hq, sh.reshape(1, 1), k2, s2,
+                        out_dtype=self.dtype)
+                        + bb2.astype(self.dtype))
+            else:
+                x2 = x2 + (int8_matmul_prequant(
+                    h, k2, s2, out_dtype=self.dtype)
+                    + bb2.astype(self.dtype))
         elif (self.mlp_fused and self.quant == "static"
                 and self.gelu == "tanh"):
             y = nn.LayerNorm(epsilon=1e-6, dtype=self.dtype,
@@ -595,6 +624,7 @@ class BlockStack(nn.Module):
     kernel_variant: str = "v1"
     mlp_fused: bool = False
     ln_quant_fused: bool = False
+    mlp_act_cal: bool = False
     emit_ys: bool = False
     # lax.scan unroll factor (ViTConfig.scan_unroll): >= n removes the
     # while loop (no peel, no weight-slice copies); params stay stacked
@@ -606,7 +636,9 @@ class BlockStack(nn.Module):
                      if self.remat else Block)
         scan = nn.scan(
             block_cls,
-            variable_axes={"params": 0},
+            # quant_cal: per-block MLP-hidden amax sown during
+            # mlp_act_cal calibration forwards (stacked like params)
+            variable_axes={"params": 0, "quant_cal": 0},
             split_rngs={"params": True},
             length=self.n,
             unroll=min(self.scan_unroll, self.n),
@@ -627,6 +659,7 @@ class BlockStack(nn.Module):
             kernel_variant=self.kernel_variant,
             mlp_fused=self.mlp_fused,
             ln_quant_fused=self.ln_quant_fused,
+            mlp_act_cal=self.mlp_act_cal,
             emit_y=self.emit_ys,
             name="blocks",
         )(x, None)
@@ -770,6 +803,7 @@ class DenseViT(nn.Module):
             kernel_variant=cfg.attn_variant,
             mlp_fused=cfg.mlp_fused,
             ln_quant_fused=cfg.ln_quant_fused,
+            mlp_act_cal=cfg.mlp_act_cal,
             scan_unroll=cfg.scan_unroll,
         )
         taps: List[jnp.ndarray] = []

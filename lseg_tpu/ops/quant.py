@@ -294,6 +294,23 @@ def quantize_tree(params, leaves=None, decoder=False, act_scale=False):
         if not isinstance(node, Mapping):
             return node
         tail2, tail1 = tuple(path[-2:]), tuple(path[-1:])
+        if (act_scale and "attn" in node and "mlp" in node
+                and isinstance(node["mlp"], Mapping)
+                and "fc1" in node["mlp"]):
+            # transformer-block container: add the MLP-hidden act_scale
+            # placeholder (ViTConfig.mlp_act_cal — calibrated static
+            # per-tensor scale for the GELU output, so fc1's epilogue
+            # emits int8 directly instead of a bf16 round trip + a
+            # separate convert pass). Stacked (L,) under nn.scan.
+            # fc1 holds 'kernel' in an fp32 (parity-init / checkpoint)
+            # tree and 'kernel_q' in a fast-init tree; a fast-init tree
+            # already declares act_scale (Block.self.param) — keep it.
+            fc1 = node["mlp"]["fc1"]
+            w1 = fc1["kernel"] if "kernel" in fc1 else fc1["kernel_q"]
+            shape = (w1.shape[0],) if w1.ndim == 3 else ()
+            out = {k: rec(v, path + (k,)) for k, v in node.items()}
+            out.setdefault("act_scale", jnp.ones(shape, jnp.float32))
+            return out
         if "kernel" in node and tail2 in leaves:
             w = jnp.asarray(node["kernel"], jnp.float32)
             amax = jnp.max(jnp.abs(w), axis=-2)

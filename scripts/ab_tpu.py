@@ -136,6 +136,30 @@ def _cfg_int8_cfpp():
         cfg, vit=dataclasses.replace(cfg.vit, pretrain_grid=30))
 
 
+def _cfg_int8_mlpcal():
+    cfg = dataclasses.replace(_cfg_int8_lnq_lnf(),
+                              decoder_conv_first=True,
+                              head_fused="lowres")
+    return dataclasses.replace(
+        cfg, vit=dataclasses.replace(cfg.vit, scan_unroll=8,
+                                     mlp_act_cal=True))
+
+
+def _prep_int8_mlpcal(v):
+    """Static-cal quantize + calibration through the mlp_act_cal model
+    (the block-level MLP-hidden amaxes must be sown by a model that
+    declares them)."""
+    from lseg_tpu.ops.quant import calibrate_act_scales
+
+    cfg = _cfg_int8_mlpcal()
+    model = LSegNet(cfg, dtype=jnp.bfloat16)
+    vv = {**v, "params": quantize_tree(v["params"], decoder=True,
+                                       act_scale=True)}
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (8, 480, 480, 3), jnp.float32)
+    return calibrate_act_scales(model, vv, x, None)
+
+
 def _prep_int8_cal_pp(v):
     """presize_pos_embed for the 480 crop, then the usual static-cal
     quantize + calibration (through the presized model)."""
@@ -459,6 +483,12 @@ VARIANTS = {
                                   decoder_conv_first=True,
                                   head_fused="lowres")),
                           prep=_prep_int8_cal,
+                          fwd_fn=lambda model, cfg: (
+                              lambda v, x, t: model.apply(
+                                  v, x, t, return_argmax=True))),
+    # + calibrated static MLP-hidden act scale (fc1 emits int8
+    # directly; no bf16 hidden round trip / convert pass)
+    "int8_cf_mlpcal": _mk(_cfg_int8_mlpcal, prep=_prep_int8_mlpcal,
                           fwd_fn=lambda model, cfg: (
                               lambda v, x, t: model.apply(
                                   v, x, t, return_argmax=True))),

@@ -470,6 +470,7 @@ def test_trained_model_fast_int8_miou_parity():
     cfg_f = fast_serving(cfg, quant="static_cal")
     assert cfg_f.vit.attn_impl == "flashlnq"
     assert cfg_f.vit.ln_quant_fused  # pin the exact bench.py stack
+    assert cfg_f.vit.mlp_act_cal and cfg_f.vit.scan_unroll >= 8
     assert cfg_f.decoder_quant == "static_cal" and cfg_f.head_fused
     assert cfg_f.decoder_conv_first
     mf = LSegNet(cfg_f, dtype=jnp.bfloat16)

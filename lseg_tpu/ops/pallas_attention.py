@@ -172,10 +172,15 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
     VPU chain saves; kept as evidence/knob). `qk_int8` re-quantizes
     q/k per row in VMEM and runs QK^T on the int8 MXU at 2x the bf16
     rate; the rank-1 dequant (sq_i * sk_j) folds into the score scale
-    pass."""
-    q2 = qkv[:, 0:128]
-    k2 = qkv[:, 128:256]
-    v2 = qkv[:, 256:384]
+    pass. `qkv` is either the (T, 384) pair tensor or the
+    (q2, k2, v2) tuple of (T, 128) slices (the per-slice-dequant
+    kernels pass the tuple so no VMEM concat ever happens)."""
+    if isinstance(qkv, tuple):
+        q2, k2, v2 = qkv
+    else:
+        q2 = qkv[:, 0:128]
+        k2 = qkv[:, 128:256]
+        v2 = qkv[:, 256:384]
     outs = []
     for h in (0, 1):
         lo = h * _HD
@@ -221,31 +226,33 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
     return jnp.concatenate(outs, axis=1)
 
 
-def _kernel_qkv(xq_ref, sx_ref, w_ref, sw_ref, b_ref, out_ref,
-                *, scale, t_valid):
+def _kernel_qkv(xq_ref, sx_ref, wq_ref, wk_ref, wv_ref, sw_ref, b_ref,
+                out_ref, *, scale, t_valid):
     """Fused int8 qkv-projection + two-head flash attention.
 
     Per (batch, head-pair) grid step: the int8 LN output (T, D) hits
-    the MXU against this pair's pre-quantized weight slice (D, 384) —
-    384 columns = [q_pair | k_pair | v_pair], each 128 lanes = 2 heads
-    of head_dim 64 — dequantizes in VMEM, and runs the same single-pass
-    fp32 softmax as `_kernel`. The (N, T, 3D) qkv tensor never exists
-    in HBM (saves its write + read, ~88 MB/block at the flagship
-    shape)."""
+    the MXU against this pair's q/k/v weight column slices (three
+    (D, 128) BlockSpec views of the RAW (D, 3D) param — no host-side
+    weight rearrangement; see `_kernel_ln_qkv_q8` doc), dequantizes in
+    VMEM, and runs the same single-pass fp32 softmax as `_kernel`. The
+    (N, T, 3D) qkv tensor never exists in HBM (saves its write + read,
+    ~88 MB/block at the flagship shape)."""
     xq = xq_ref[0]                       # (T, D) int8
     sx = sx_ref[0]                       # (T, 1) fp32 row scales
-    w = w_ref[0]                         # (D, 384) int8
     sw = sw_ref[0]                       # (1, 384) fp32 col scales
     b = b_ref[0]                         # (1, 384) fp32 bias
 
-    acc = jax.lax.dot_general(
-        xq, w, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    qkv = (acc.astype(jnp.float32) * sx * sw + b).astype(jnp.bfloat16)
-    q2 = qkv[:, 0:128]
-    k2 = qkv[:, 128:256]
-    v2 = qkv[:, 256:384]
+    parts = []
+    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
+        acc = jax.lax.dot_general(
+            xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        lo = i * 128
+        parts.append((acc.astype(jnp.float32) * sx
+                      * sw[:, lo:lo + 128]
+                      + b[:, lo:lo + 128]).astype(jnp.bfloat16))
+    q2, k2, v2 = parts
 
     outs = []
     for h in (0, 1):
@@ -287,11 +294,11 @@ def flash_attention_qkv_fused(
 ) -> jnp.ndarray:        # (N, T, D) bf16
     """Int8 qkv projection fused INTO the flat flash-attention kernel.
 
-    The weight matrix is regrouped in-graph to (pairs, D, 384) — one
-    contiguous [q|k|v] slice per head pair — so each grid step loads
-    only its own 0.4 MB weight block; the x block's index map depends
-    only on the batch coordinate, so Mosaic keeps it VMEM-resident
-    across the pair-minor grid steps (one HBM read of x per image)."""
+    Each grid step loads only its pair's three 128-column weight
+    slices straight from the raw (D, 3D) param (0.4 MB total); the x
+    block's index map depends only on the batch coordinate, so Mosaic
+    keeps it VMEM-resident across the pair-minor grid steps (one HBM
+    read of x per image)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, t, d = xq.shape
@@ -299,15 +306,18 @@ def flash_attention_qkv_fused(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    # (D, 3D) -> (pairs, D, 384): columns [p*128:(p+1)*128] of each of
-    # the q/k/v thirds, concatenated. Tiny one-off data movement (~3 MB)
-    # relative to the per-block saving.
-    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
-    w3 = w3.reshape(pairs, d, 384)
+    # scales/bias (tiny) host-rearranged per pair; the WEIGHT stays in
+    # its raw (D, 3D) layout, fed via three per-pair column BlockSpecs
+    # (q at col p, k at pairs+p, v at 2*pairs+p, 128-lane units) — the
+    # former (pairs, D, 384) regroup materialized as two full-weight
+    # relayout copies per block.
     sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
     b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
+
+    def wcol(off):
+        return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
 
     grid = (n, pairs)
     out = pl.pallas_call(
@@ -317,7 +327,7 @@ def flash_attention_qkv_fused(
         in_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
             pl.BlockSpec((1, t, 1), lambda ni, p: (ni, 0, 0)),
-            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            wcol(0), wcol(pairs), wcol(2 * pairs),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
         ],
@@ -327,8 +337,8 @@ def flash_attention_qkv_fused(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xq, sx.astype(jnp.float32), w3, sw3.astype(jnp.float32),
-      b3.astype(jnp.float32))
+    )(xq, sx.astype(jnp.float32), wq, wq, wq,
+      sw3.astype(jnp.float32), b3.astype(jnp.float32))
     return out
 
 
@@ -602,7 +612,8 @@ def _flash_flat_bwd(num_heads, scale, block_q, interpret, valid_len,
 flash_attention_flat_vjp.defvjp(_flash_flat_fwd, _flash_flat_bwd)
 
 
-def _kernel_ln_qkv(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
+def _kernel_ln_qkv(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
+                   sw_ref, b_ref,
                    out_ref, xq_ref, sx_ref, *, scale, t_valid, eps):
     """_kernel_qkv with the pre-attention LayerNorm + per-row int8
     quantize pulled INSIDE: at pair step 0 the raw bf16 residual-stream
@@ -626,16 +637,18 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
         xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
                              -127, 127).astype(jnp.int8)
 
-    acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    qkv = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[0]
-           + b_ref[0]).astype(jnp.bfloat16)
-    q2 = qkv[:, 0:128]
-    k2 = qkv[:, 128:256]
-    v2 = qkv[:, 256:384]
+    parts = []
+    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
+        acc = jax.lax.dot_general(
+            xq_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        lo = i * 128
+        parts.append((acc.astype(jnp.float32) * sx_ref[:]
+                      * sw_ref[0][:, lo:lo + 128]
+                      + b_ref[0][:, lo:lo + 128]).astype(jnp.bfloat16))
+    q2, k2, v2 = parts
 
     outs = []
     for h in (0, 1):
@@ -660,7 +673,8 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
     out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
 
 
-def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
+def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
+                      sw_ref, b_ref,
                       oq_ref, os_ref, xq_ref, sx_ref, obuf_ref,
                       *, scale, t_valid, eps, pairs,
                       scores_dtype=jnp.float32, qk_int8=False):
@@ -672,7 +686,15 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
     bit-identical operands). The bf16 attention output and its int8
     copy never exist in HBM — only (T, D) int8 + (T, 1) scales leave
     the kernel, replacing the external quantize pass's full read+write
-    of the bf16 tensor per block."""
+    of the bf16 tensor per block.
+
+    The qkv weight arrives as the RAW (D, 3D) param via THREE column
+    BlockSpecs (this pair's q/k/v 128-lane slices) instead of a
+    host-side (pairs, D, 384) rearrangement — that transpose+reshape
+    materialized as two full-weight relayout copies per block (2 x
+    3.1 MB x 24 = 151 MB/step) plus whole stacked-param copies.
+    Splitting the dot's N dim into three 128-column dots is
+    bit-identical (output columns accumulate independently)."""
     p_idx = pl.program_id(1)
 
     @pl.when(p_idx == 0)
@@ -688,15 +710,19 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, w_ref, sw_ref, b_ref,
         xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
                              -127, 127).astype(jnp.int8)
 
-    acc = jax.lax.dot_general(
-        xq_ref[:], w_ref[0],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.int32,
-    )
-    qkv = (acc.astype(jnp.float32) * sx_ref[:] * sw_ref[0]
-           + b_ref[0]).astype(jnp.bfloat16)
+    parts = []
+    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
+        acc = jax.lax.dot_general(
+            xq_ref[:], w_ref[:],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        lo = i * 128
+        parts.append((acc.astype(jnp.float32) * sx_ref[:]
+                      * sw_ref[0][:, lo:lo + 128]
+                      + b_ref[0][:, lo:lo + 128]).astype(jnp.bfloat16))
     obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
-        qkv, scale, t_valid, scores_dtype,
+        tuple(parts), scale, t_valid, scores_dtype,
         qk_int8=qk_int8).astype(jnp.bfloat16)
 
     @pl.when(p_idx == pairs - 1)
@@ -740,12 +766,17 @@ def flash_attention_ln_qkv_fused_q8(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
-    w3 = w3.reshape(pairs, d, 384)
+    # scales/bias are tiny (3D fp32): host-rearranged per pair as
+    # before. The WEIGHT stays in its raw (D, 3D) layout and is fed
+    # through three per-pair column BlockSpecs (q at col p, k at
+    # pairs+p, v at 2*pairs+p, in 128-lane units) — see _kernel doc.
     sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
     b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
+
+    def wcol(off):
+        return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
 
     oq, os = pl.pallas_call(
         functools.partial(_kernel_ln_qkv_q8, scale=scale,
@@ -757,7 +788,7 @@ def flash_attention_ln_qkv_fused_q8(
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
-            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            wcol(0), wcol(pairs), wcol(2 * pairs),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
         ],
@@ -780,7 +811,7 @@ def flash_attention_ln_qkv_fused_q8(
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),
       ln_bias.astype(jnp.float32).reshape(1, d),
-      w3, sw3.astype(jnp.float32), b3.astype(jnp.float32))
+      wq, wq, wq, sw3.astype(jnp.float32), b3.astype(jnp.float32))
     return oq, os
 
 
@@ -810,12 +841,13 @@ def flash_attention_ln_qkv_fused(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    w3 = wq.reshape(d, 3, pairs, 128).transpose(2, 0, 1, 3)
-    w3 = w3.reshape(pairs, d, 384)
     sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
     b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
         pairs, 1, 384)
+
+    def wcol(off):
+        return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
 
     out = pl.pallas_call(
         functools.partial(_kernel_ln_qkv, scale=scale,
@@ -825,7 +857,7 @@ def flash_attention_ln_qkv_fused(
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
-            pl.BlockSpec((1, d, 384), lambda ni, p: (p, 0, 0)),
+            wcol(0), wcol(pairs), wcol(2 * pairs),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
             pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
         ],
@@ -841,5 +873,5 @@ def flash_attention_ln_qkv_fused(
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),
       ln_bias.astype(jnp.float32).reshape(1, d),
-      w3, sw3.astype(jnp.float32), b3.astype(jnp.float32))
+      wq, wq, wq, sw3.astype(jnp.float32), b3.astype(jnp.float32))
     return out

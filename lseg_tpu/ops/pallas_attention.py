@@ -226,6 +226,48 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
     return jnp.concatenate(outs, axis=1)
 
 
+def _dequant_qkv_parts(xq, sx, w_refs, sw_ref, b_ref):
+    """Shared int8-matmul + dequant interior of the fused qkv kernels:
+    per q/k/v slice i, xq(T,D)i8 @ w(D,128)i8 on the int8 MXU, then
+    `acc * sx * sw_row_i + b_row_i` in fp32 -> bf16.
+
+    `sw_ref`/`b_ref` are (3, 128) blocks — ONE SUBLANE ROW PER SLICE.
+    Mosaic toolchain constraint (Aug 2026 drift, BENCH_r04 / round-5
+    fix, validated by scripts/mosaic_probe.py): broadcasting a
+    LANE-OFFSET slice of a one-row block (`sw[0][:, 128:256]`, layout
+    lane offset 128) against the (T, 128) accumulator is rejected with
+    'Invalid input layout'; whole-sublane-row indexing (`sw_ref[i]`,
+    a (128,) lane vector) compiles."""
+    parts = []
+    for i, w_ref in enumerate(w_refs):
+        acc = jax.lax.dot_general(
+            xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        parts.append((acc.astype(jnp.float32) * sx
+                      * sw_ref[i] + b_ref[i]).astype(jnp.bfloat16))
+    return tuple(parts)
+
+
+def _qkv_rows(sw, bias, pairs):
+    """Host-side rearrangement of the (3D,) qkv output-channel scales
+    and bias into (8*pairs, 128): rows ordered [q_p, k_p, v_p, 0...]
+    per pair p (padded from 3 to 8 rows — the block sublane dim must
+    be divisible by 8), so the kernel's (8, 128) block at pair-block
+    index p holds its q/k/v rows as whole sublanes (see
+    `_dequant_qkv_parts`)."""
+    def rows(v):
+        v3 = v.reshape(3, pairs, 128).transpose(1, 0, 2)  # (pairs,3,128)
+        v8 = jnp.concatenate(
+            [v3, jnp.zeros((pairs, 5, 128), v3.dtype)], axis=1)
+        return v8.reshape(8 * pairs, 128).astype(jnp.float32)
+    return rows(sw), rows(bias)
+
+
+def _qkv_rows_spec():
+    return pl.BlockSpec((8, 128), lambda ni, p: (p, 0))
+
+
 def _kernel_qkv(xq_ref, sx_ref, wq_ref, wk_ref, wv_ref, sw_ref, b_ref,
                 out_ref, *, scale, t_valid):
     """Fused int8 qkv-projection + two-head flash attention.
@@ -237,44 +279,10 @@ def _kernel_qkv(xq_ref, sx_ref, wq_ref, wk_ref, wv_ref, sw_ref, b_ref,
     VMEM, and runs the same single-pass fp32 softmax as `_kernel`. The
     (N, T, 3D) qkv tensor never exists in HBM (saves its write + read,
     ~88 MB/block at the flagship shape)."""
-    xq = xq_ref[0]                       # (T, D) int8
-    sx = sx_ref[0]                       # (T, 1) fp32 row scales
-    sw = sw_ref[0]                       # (1, 384) fp32 col scales
-    b = b_ref[0]                         # (1, 384) fp32 bias
-
-    parts = []
-    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
-        acc = jax.lax.dot_general(
-            xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        lo = i * 128
-        parts.append((acc.astype(jnp.float32) * sx
-                      * sw[:, lo:lo + 128]
-                      + b[:, lo:lo + 128]).astype(jnp.bfloat16))
-    q2, k2, v2 = parts
-
-    outs = []
-    for h in (0, 1):
-        lo = h * _HD
-        s = jax.lax.dot_general(
-            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if s.shape[1] != t_valid:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < t_valid, s, -jnp.inf)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v2.dtype), v2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o / l)
-    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+    parts = _dequant_qkv_parts(xq_ref[0], sx_ref[0],
+                               (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
+    out_ref[0] = _pair_softmax_attention(
+        parts, scale, t_valid, jnp.float32).astype(out_ref.dtype)
 
 
 @functools.partial(
@@ -306,15 +314,13 @@ def flash_attention_qkv_fused(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    # scales/bias (tiny) host-rearranged per pair; the WEIGHT stays in
-    # its raw (D, 3D) layout, fed via three per-pair column BlockSpecs
-    # (q at col p, k at pairs+p, v at 2*pairs+p, 128-lane units) — the
-    # former (pairs, D, 384) regroup materialized as two full-weight
-    # relayout copies per block.
-    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
-    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
+    # scales/bias (tiny) host-rearranged into per-pair SUBLANE ROWS
+    # (`_qkv_rows` doc); the WEIGHT stays in its raw (D, 3D) layout,
+    # fed via three per-pair column BlockSpecs (q at col p, k at
+    # pairs+p, v at 2*pairs+p, 128-lane units) — the former
+    # (pairs, D, 384) regroup materialized as two full-weight relayout
+    # copies per block.
+    sw3, b3 = _qkv_rows(sw, bias, pairs)
 
     def wcol(off):
         return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
@@ -328,8 +334,7 @@ def flash_attention_qkv_fused(
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
             pl.BlockSpec((1, t, 1), lambda ni, p: (ni, 0, 0)),
             wcol(0), wcol(pairs), wcol(2 * pairs),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            _qkv_rows_spec(), _qkv_rows_spec(),
         ],
         out_specs=pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p)),
         out_shape=jax.ShapeDtypeStruct((n, t, d), jnp.bfloat16),
@@ -337,8 +342,7 @@ def flash_attention_qkv_fused(
             dimension_semantics=("parallel", "arbitrary"),
         ),
         interpret=interpret,
-    )(xq, sx.astype(jnp.float32), wq, wq, wq,
-      sw3.astype(jnp.float32), b3.astype(jnp.float32))
+    )(xq, sx.astype(jnp.float32), wq, wq, wq, sw3, b3)
     return out
 
 
@@ -637,40 +641,10 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
         xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
                              -127, 127).astype(jnp.int8)
 
-    parts = []
-    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
-        acc = jax.lax.dot_general(
-            xq_ref[:], w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        lo = i * 128
-        parts.append((acc.astype(jnp.float32) * sx_ref[:]
-                      * sw_ref[0][:, lo:lo + 128]
-                      + b_ref[0][:, lo:lo + 128]).astype(jnp.bfloat16))
-    q2, k2, v2 = parts
-
-    outs = []
-    for h in (0, 1):
-        lo = h * _HD
-        s = jax.lax.dot_general(
-            q2[:, lo: lo + _HD], k2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) * scale
-        if s.shape[1] != t_valid:
-            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-            s = jnp.where(col < t_valid, s, -jnp.inf)
-        m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
-        l = jnp.sum(p, axis=1, keepdims=True)
-        o = jax.lax.dot_general(
-            p.astype(v2.dtype), v2[:, lo: lo + _HD],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        outs.append(o / l)
-    out_ref[0] = jnp.concatenate(outs, axis=1).astype(out_ref.dtype)
+    parts = _dequant_qkv_parts(xq_ref[:], sx_ref[:],
+                               (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
+    out_ref[0] = _pair_softmax_attention(
+        parts, scale, t_valid, jnp.float32).astype(out_ref.dtype)
 
 
 def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
@@ -710,19 +684,10 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
         xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
                              -127, 127).astype(jnp.int8)
 
-    parts = []
-    for i, w_ref in enumerate((wq_ref, wk_ref, wv_ref)):
-        acc = jax.lax.dot_general(
-            xq_ref[:], w_ref[:],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        lo = i * 128
-        parts.append((acc.astype(jnp.float32) * sx_ref[:]
-                      * sw_ref[0][:, lo:lo + 128]
-                      + b_ref[0][:, lo:lo + 128]).astype(jnp.bfloat16))
+    parts = _dequant_qkv_parts(xq_ref[:], sx_ref[:],
+                               (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
     obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
-        tuple(parts), scale, t_valid, scores_dtype,
+        parts, scale, t_valid, scores_dtype,
         qk_int8=qk_int8).astype(jnp.bfloat16)
 
     @pl.when(p_idx == pairs - 1)
@@ -766,14 +731,12 @@ def flash_attention_ln_qkv_fused_q8(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    # scales/bias are tiny (3D fp32): host-rearranged per pair as
-    # before. The WEIGHT stays in its raw (D, 3D) layout and is fed
-    # through three per-pair column BlockSpecs (q at col p, k at
-    # pairs+p, v at 2*pairs+p, in 128-lane units) — see _kernel doc.
-    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
-    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
+    # scales/bias are tiny (3D fp32): host-rearranged into per-pair
+    # sublane rows (`_qkv_rows` doc). The WEIGHT stays in its raw
+    # (D, 3D) layout and is fed through three per-pair column
+    # BlockSpecs (q at col p, k at pairs+p, v at 2*pairs+p, in
+    # 128-lane units) — see _kernel doc.
+    sw3, b3 = _qkv_rows(sw, bias, pairs)
 
     def wcol(off):
         return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
@@ -789,8 +752,7 @@ def flash_attention_ln_qkv_fused_q8(
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             wcol(0), wcol(pairs), wcol(2 * pairs),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            _qkv_rows_spec(), _qkv_rows_spec(),
         ],
         out_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
@@ -807,11 +769,16 @@ def flash_attention_ln_qkv_fused_q8(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # The Aug-2026 toolchain allocates ~0.75 MB more stack for
+            # this kernel than the 16 MB default scoped limit (it fit
+            # before the drift); v5e VMEM is 128 MB — raise the scoped
+            # cap rather than shrink the single-block softmax.
+            vmem_limit_bytes=24 * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),
       ln_bias.astype(jnp.float32).reshape(1, d),
-      wq, wq, wq, sw3.astype(jnp.float32), b3.astype(jnp.float32))
+      wq, wq, wq, sw3, b3)
     return oq, os
 
 
@@ -841,10 +808,7 @@ def flash_attention_ln_qkv_fused(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
-    sw3 = sw.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
-    b3 = bias.reshape(3, pairs, 128).transpose(1, 0, 2).reshape(
-        pairs, 1, 384)
+    sw3, b3 = _qkv_rows(sw, bias, pairs)
 
     def wcol(off):
         return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
@@ -858,8 +822,7 @@ def flash_attention_ln_qkv_fused(
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             wcol(0), wcol(pairs), wcol(2 * pairs),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
-            pl.BlockSpec((1, 1, 384), lambda ni, p: (p, 0, 0)),
+            _qkv_rows_spec(), _qkv_rows_spec(),
         ],
         out_specs=pl.BlockSpec((1, t, 128), lambda ni, p: (ni, 0, p)),
         out_shape=jax.ShapeDtypeStruct((n, t, d), jnp.bfloat16),
@@ -869,9 +832,10 @@ def flash_attention_ln_qkv_fused(
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=24 * 1024 * 1024,  # see q8 variant note
         ),
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),
       ln_bias.astype(jnp.float32).reshape(1, d),
-      wq, wq, wq, sw3.astype(jnp.float32), b3.astype(jnp.float32))
+      wq, wq, wq, sw3, b3)
     return out

@@ -25,8 +25,18 @@ Robustness under a driver harness with an unknown wall-clock budget
 - SIGTERM/SIGALRM/errors re-emit the best-so-far line and exit 0;
 - `BENCH_BUDGET_S` env (or --budget=N) arms a self-deadline.
 
-Prints JSON lines {"metric", "value", "unit", "vs_baseline"}; the LAST
-line is the result. vs_baseline = value / 300 (north-star; the
+Compile-failure robustness (round-4 lesson: `BENCH_r04.json` rc=1 with
+zero information after the relay's Mosaic compiler drifted and started
+rejecting the adopted attention kernels): without --config, this
+process is an ORCHESTRATOR that walks a config fallback ladder — full
+fast stack → flashq → flashflat+int8 → bf16 no-quant kernels → pure
+XLA — running each rung as a subprocess and stopping at the first that
+prints a result line. A kernel regression degrades the measured config
+(the JSON line carries its name) instead of zeroing the round. Run
+scripts/kernel_census.py to localize which kernel broke.
+
+Prints JSON lines {"metric", "value", "unit", "vs_baseline", "config"};
+the LAST line is the result. vs_baseline = value / 300 (north-star; the
 reference publishes no throughput numbers — BASELINE.md).
 """
 
@@ -40,7 +50,14 @@ import time
 
 NORTH_STAR = 300.0  # img/s/chip on v5e (BASELINE.json)
 
+# Fallback ladder, fastest first. Each rung removes the kernel family
+# most likely to have broken in the rung above it; the last rung is
+# pure XLA (no Pallas at all) and compiles on any toolchain.
+LADDER = ("fast_cal", "fast_flashq", "fast_flashflat", "fast_bf16",
+          "xla_bf16")
+
 _best_line: str | None = None
+_config_name: str = "fast_cal"
 
 
 def _emit(img_per_sec: float) -> None:
@@ -51,6 +68,7 @@ def _emit(img_per_sec: float) -> None:
         "value": round(img_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(img_per_sec / NORTH_STAR, 3),
+        "config": _config_name,
     })
     print(_best_line, flush=True)
 
@@ -65,7 +83,49 @@ def _bail(signum, frame):  # re-emit best and stop cleanly
 _CACHE_DIR = "/tmp/lseg_tpu_jax_cache_tpu"
 
 
-def _warm_cache_subprocess(batch: int) -> None:
+def _build_cfg(name: str):
+    """Ladder rung -> (LSegConfig, quant mode for the param tree)."""
+    import dataclasses
+
+    from lseg_tpu.config import fast_serving, get_config
+
+    base = get_config("clip_vitl16_384")
+    if name == "fast_cal":
+        # The documented fast-serving configuration (LN+qkv+flash fused
+        # kernel with q8 output, LN2+quantize pass, fused lowres argmax
+        # head, patchify kernel, tanh GELU, static int8 projections +
+        # decoder convs with calibrated activation scales) — drift
+        # bounds and trained-model mIoU-delta tests in
+        # tests/test_quant.py; evaluate.py defaults to the parity
+        # config and opts in via --fast [--int8].
+        return fast_serving(base, quant="static_cal"), "static_cal"
+    if name == "fast_flashq":
+        # no LN-fused kernels: external LN + flash_attention_qkv_fused
+        cfg = fast_serving(base, quant="static_cal")
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+            cfg.vit, attn_impl="flashq", ln_quant_fused=False,
+            mlp_act_cal=False))
+        return cfg, "static_cal"
+    if name == "fast_flashflat":
+        # XLA int8 qkv/proj matmuls + the plain flat flash kernel
+        cfg = fast_serving(base, quant="static")
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+            cfg.vit, attn_impl="flashflat", ln_quant_fused=False,
+            mlp_act_cal=False))
+        return cfg, "static"
+    if name == "fast_bf16":
+        # no quantization: flashflat + patchify kernels only, XLA head
+        return fast_serving(base, quant=False), False
+    if name == "xla_bf16":
+        # zero Pallas kernels — bf16-scores XLA attention everywhere
+        cfg = fast_serving(base, quant=False)
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+            cfg.vit, attn_impl="xla", patch_fused=False))
+        return cfg, False
+    raise ValueError(f"unknown bench config {name!r}")
+
+
+def _warm_cache_subprocess(batch: int, cfg_name: str) -> None:
     """Cold-cache protection (round-2 lesson, VERDICT item 1a): the
     remote compile helper can die when several big programs compile in
     one session, killing the whole bench. On a cold cache, compile the
@@ -84,11 +144,55 @@ def _warm_cache_subprocess(batch: int) -> None:
     for _ in range(2):
         rc = subprocess.call(
             [sys.executable, os.path.abspath(__file__),
-             "--compile-only", f"--batch={batch}"],
+             "--compile-only", f"--batch={batch}",
+             f"--config={cfg_name}"],
             timeout=None, stdout=sys.stderr, stderr=sys.stderr,
         )
         if rc == 0:
             return
+
+
+def _ladder_main(passthrough: list[str], budget: float) -> None:
+    """Orchestrator: run each ladder rung as a subprocess, streaming
+    its stdout through; stop at the first rung that prints a result
+    JSON line. Exit 0 iff some rung delivered a number."""
+    import subprocess
+
+    deadline = time.monotonic() + budget if budget > 0 else None
+    child: subprocess.Popen | None = None
+    stopping = []
+
+    def fwd(signum, frame):
+        stopping.append(signum)
+        if child is not None and child.poll() is None:
+            child.send_signal(signal.SIGTERM)  # child emits best line
+
+    signal.signal(signal.SIGTERM, fwd)
+    signal.signal(signal.SIGINT, fwd)
+
+    for rung in LADDER:
+        args = [sys.executable, os.path.abspath(__file__),
+                f"--config={rung}", *passthrough]
+        if deadline is not None:
+            left = deadline - time.monotonic()
+            if left < 30:
+                break
+            args.append(f"--budget={left:.0f}")
+        child = subprocess.Popen(args, stdout=subprocess.PIPE,
+                                 text=True)
+        got_json = False
+        for line in child.stdout:
+            print(line, end="", flush=True)
+            if line.startswith("{"):
+                got_json = True
+        rc = child.wait()
+        if got_json:
+            sys.exit(0)
+        if stopping:  # driver asked us to wrap up — no new rungs
+            sys.exit(1)
+        print(f"bench: config '{rung}' produced no result (rc={rc}); "
+              "falling back", file=sys.stderr, flush=True)
+    sys.exit(1)
 
 
 def main() -> None:
@@ -96,6 +200,7 @@ def main() -> None:
     iters = 12
     budget = float(os.environ.get("BENCH_BUDGET_S", "0"))
     compile_only = "--compile-only" in sys.argv
+    cfg_name = None
     for arg in sys.argv[1:]:
         if arg.startswith("--batch="):
             batch = int(arg.split("=")[1])
@@ -103,6 +208,18 @@ def main() -> None:
             iters = int(arg.split("=")[1])
         if arg.startswith("--budget="):
             budget = float(arg.split("=")[1])
+        if arg.startswith("--config="):
+            cfg_name = arg.split("=")[1]
+
+    if cfg_name is None and not compile_only:
+        passthrough = [a for a in sys.argv[1:]
+                       if not a.startswith("--budget=")]
+        _ladder_main(passthrough, budget)
+        return
+    if cfg_name is None:
+        cfg_name = LADDER[0]
+    global _config_name
+    _config_name = cfg_name
 
     signal.signal(signal.SIGTERM, _bail)
     signal.signal(signal.SIGINT, _bail)
@@ -110,7 +227,7 @@ def main() -> None:
         signal.signal(signal.SIGALRM, _bail)
         signal.alarm(max(int(budget) - 5, 1))
     if not compile_only:
-        _warm_cache_subprocess(batch)
+        _warm_cache_subprocess(batch, cfg_name)
 
     import jax
     import jax.numpy as jnp
@@ -119,17 +236,34 @@ def main() -> None:
                       "/tmp/lseg_tpu_jax_cache_tpu")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from lseg_tpu.config import fast_serving, get_config
     from lseg_tpu.models.lseg import LSegNet
     from lseg_tpu.ops.quant import calibrate_act_scales, quantize_tree
 
-    # The documented fast-serving configuration (flat-layout flash
-    # attention + fused qkv kernel + tanh GELU + bf16 deferred-norm
-    # fused head + static int8 projections/decoder convs with
-    # calibrated activation scales) — drift bounds and trained-model
-    # mIoU-delta tests in tests/test_quant.py; evaluate.py defaults to
-    # the parity config and opts in via --fast [--int8].
-    cfg = fast_serving(get_config("clip_vitl16_384"), quant="static_cal")
+    fault = os.environ.get("LSEG_BENCH_FAULT")
+    if fault:
+        # Fault injection for ladder testing: disable one adopted
+        # kernel by module-attribute name (the model imports kernels at
+        # call time, so rebinding the module attr breaks exactly that
+        # path). E.g. LSEG_BENCH_FAULT=flash_attention_ln_qkv_fused_q8
+        # python bench.py -> the ladder must still print a JSON line.
+        import lseg_tpu.ops.pallas_attention as _pa
+        import lseg_tpu.ops.pallas_correlation as _pc
+        import lseg_tpu.ops.pallas_ln as _pln
+        import lseg_tpu.ops.pallas_patch as _pp
+
+        def _boom(*a, **k):
+            raise RuntimeError(f"LSEG_BENCH_FAULT: {fault} disabled")
+
+        hit = False
+        for m in (_pa, _pc, _pln, _pp):
+            if hasattr(m, fault):
+                setattr(m, fault, _boom)
+                hit = True
+        if not hit:
+            raise ValueError(f"LSEG_BENCH_FAULT names no kernel: "
+                             f"{fault!r}")
+
+    cfg, quant = _build_cfg(cfg_name)
     model = LSegNet(cfg, dtype=jnp.bfloat16)
 
     key = jax.random.PRNGKey(0)
@@ -142,9 +276,12 @@ def main() -> None:
     # scales start at init values; calibration below refines them and
     # does NOT change the compiled program, so throughput timing is
     # valid either way.
-    variables = dict(variables)
-    variables["params"] = quantize_tree(variables["params"], decoder=True,
-                                        act_scale=True)
+    if quant:
+        variables = dict(variables)
+        variables["params"] = quantize_tree(
+            variables["params"], decoder=True,
+            act_scale=(quant == "static_cal"),
+            mlp_act_scale=bool(cfg.vit.mlp_act_cal))
     x = jax.random.normal(key, (batch, 480, 480, 3), jnp.float32)
 
     @jax.jit
@@ -168,7 +305,8 @@ def main() -> None:
         jax.block_until_ready(
             run.lower(variables, x, txt, jnp.int32(1)).compile()(
                 variables, x, txt, jnp.int32(1)))
-        variables = calibrate_act_scales(model, variables, x, None)
+        if quant == "static_cal":
+            variables = calibrate_act_scales(model, variables, x, None)
         print("compile-only: done", file=sys.stderr, flush=True)
         return
 
@@ -199,8 +337,11 @@ def main() -> None:
 
         # static PTQ activation-scale calibration (one jitted forward;
         # same program structure → throughput unchanged, numerics real)
-        variables = calibrate_act_scales(model, variables, x, None)
-        _emit(measure(2))
+        if quant == "static_cal":
+            variables = calibrate_act_scales(model, variables, x, None)
+            _emit(measure(2))
+        else:
+            _emit(measure(2))
     except Exception:
         if _best_line is not None:
             print(_best_line, flush=True)

@@ -269,7 +269,8 @@ _QUANT_CONV_LEAVES = (
 )
 
 
-def quantize_tree(params, leaves=None, decoder=False, act_scale=False):
+def quantize_tree(params, leaves=None, decoder=False, act_scale=False,
+                  mlp_act_scale=None):
     """fp32 param tree -> static-quant serving tree.
 
     For every Dense subtree ``{kernel, bias}`` at a path whose last two
@@ -284,7 +285,18 @@ def quantize_tree(params, leaves=None, decoder=False, act_scale=False):
     ``decoder=True`` additionally quantizes the decoder/head conv
     kernels (`_QUANT_CONV_LEAVES`) for a model built with
     ``decoder_quant='static'`` — per-output-channel over (kh, kw, Cin).
+
+    ``mlp_act_scale`` gates the transformer-block MLP-hidden act_scale
+    leaf (the ViTConfig.mlp_act_cal knob) SEPARATELY from the decoder
+    conv act scales: a tree for a model built with mlp_act_cal=False
+    must stay structurally identical to its init (the leaf would ride
+    through nn.scan as an unused sliced param and break structural
+    comparisons). Default None follows ``act_scale``; pass False when
+    the target config has mlp_act_cal=False but calibrated decoder
+    scales (bench.py's fallback-ladder rungs do).
     """
+    if mlp_act_scale is None:
+        mlp_act_scale = act_scale
     leaves = _QUANT_LEAVES if leaves is None else leaves
     conv_leaves = _QUANT_CONV_LEAVES if decoder else set()
 
@@ -294,7 +306,7 @@ def quantize_tree(params, leaves=None, decoder=False, act_scale=False):
         if not isinstance(node, Mapping):
             return node
         tail2, tail1 = tuple(path[-2:]), tuple(path[-1:])
-        if (act_scale and "attn" in node and "mlp" in node
+        if (mlp_act_scale and "attn" in node and "mlp" in node
                 and isinstance(node["mlp"], Mapping)
                 and "fc1" in node["mlp"]):
             # transformer-block container: add the MLP-hidden act_scale

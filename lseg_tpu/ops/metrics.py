@@ -14,10 +14,11 @@ Semantics match encoding exactly:
 - IoU_k   = inter_k / union_k, mIoU = mean over ALL nclass classes
   (eps-guarded), as in encoding's `SegmentationMetric.get()`.
 
-Few-shot variants (`fb_iou_update`) reproduce
+Few-shot variants (`episode_inter_union` + `AverageMeter`) reproduce
 fewshot_data/common/evaluation.py:12-39 + logger.py:10-72: per-episode
 area_inter/area_union on binary masks with query ignore regions folded
-in, accumulated per class id.
+in, accumulated per class id; FB-IoU is the reference's ratio-of-sums
+(logger.py:41-43), not a mean of per-class IoUs.
 """
 
 from __future__ import annotations
@@ -164,7 +165,14 @@ class AverageMeter:
         import numpy as np
 
         sel = np.asarray(self.class_ids, dtype=np.int64)
-        iou = self.inter[:, sel] / np.maximum(self.union[:, sel], 1e-9)
+        iou = self.inter[:, sel] / np.maximum(self.union[:, sel], 1.0)
         miou = float(np.mean(iou[1]) * 100)
-        fb_iou = float(np.mean(iou) * 100)
+        # FB-IoU is the RATIO OF SUMS per {bg, fg} row — sum inter and
+        # union over the classes of interest first, divide, then mean
+        # the two row ratios (fewshot_data/common/logger.py:41-43) —
+        # NOT the mean of per-class IoUs (a mathematically different
+        # quantity; mean-of-ratios != ratio-of-means).
+        fb = (self.inter[:, sel].sum(axis=1)
+              / np.maximum(self.union[:, sel].sum(axis=1), 1e-9))
+        fb_iou = float(np.mean(fb) * 100)
         return miou, fb_iou

@@ -104,6 +104,21 @@ def test_episode_inter_union_ignore_folding():
     np.testing.assert_array_equal(np.asarray(union), [[2, 1]])
 
 
+def _reference_compute_iou(inter_buf, union_buf, class_ids):
+    """Literal NumPy transcription of the reference's
+    AverageMeter.compute_iou (fewshot_data/common/logger.py:37-45):
+    per-class IoU with union clamped to >=1, mIoU = mean of fg-row
+    IoUs over the classes of interest; FB-IoU = RATIO OF SUMS per
+    {bg, fg} row over the classes of interest, then mean of the two
+    row ratios."""
+    sel = np.asarray(class_ids, np.int64)
+    iou = inter_buf / np.maximum(union_buf, 1.0)
+    miou = iou[1, sel].mean() * 100
+    fb_iou = (inter_buf[:, sel].sum(axis=1)
+              / union_buf[:, sel].sum(axis=1)).mean() * 100
+    return miou, fb_iou
+
+
 def test_average_meter_miou():
     m = AverageMeter([3, 7])
     m.update(np.array([[1.0, 1.0]]), np.array([[2.0, 2.0]]), [3])
@@ -111,8 +126,30 @@ def test_average_meter_miou():
     miou, fb = m.compute_iou()
     # fg IoUs: 0.5 (class 3), 0.25 (class 7) -> 37.5
     assert abs(miou - 37.5) < 1e-6
-    # all IoUs: bg 0.5, 1.0; fg 0.5, 0.25 -> mean 56.25
-    assert abs(fb - 56.25) < 1e-6
+    # FB-IoU is the ratio of SUMS per row (logger.py:41-43):
+    # bg (1+3)/(2+3)=0.8, fg (1+1)/(2+4)=1/3 -> mean 56.666...
+    assert abs(fb - 100 * (0.8 + 1 / 3) / 2) < 1e-6
+    # and both must agree with the literal reference transcription
+    ref_miou, ref_fb = _reference_compute_iou(m.inter, m.union, [3, 7])
+    assert abs(miou - ref_miou) < 1e-9
+    assert abs(fb - ref_fb) < 1e-9
+
+
+def test_average_meter_fb_iou_randomized():
+    """Property check vs the reference oracle on random buffers."""
+    rng = np.random.RandomState(7)
+    class_ids = [1, 4, 5, 9]
+    m = AverageMeter(class_ids)
+    for _ in range(20):
+        c = rng.choice(class_ids, size=3)
+        inter = rng.randint(0, 50, (3, 2)).astype(np.float64)
+        union = inter + rng.randint(0, 50, (3, 2))
+        m.update(inter, union, c)
+    miou, fb = m.compute_iou()
+    ref_miou, ref_fb = _reference_compute_iou(m.inter, m.union,
+                                              class_ids)
+    assert abs(miou - ref_miou) < 1e-9
+    assert abs(fb - ref_fb) < 1e-9
 
 
 def test_episodic_evaluator_runs(tmp_path):

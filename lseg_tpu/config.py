@@ -80,9 +80,13 @@ class ViTConfig:
     # decoder_quant='static_cal') — covered by the trained-model mIoU
     # gates.
     mlp_act_cal: bool = False
-    # flat flash kernel interior variant: 'v1' (per-head chains) or
+    # flat flash kernel interior variant: 'v1' (per-head chains),
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
-    # head's softmax VPU work with the other's MXU matmuls)
+    # head's softmax VPU work with the other's MXU matmuls), 'i8qk'
+    # (int8 QK; measured worse), or 'lean' (flashlnq only: softmax
+    # scale folded into the q dequant scales + pad-key mask as a
+    # precomputed bias-row add — two fewer VPU passes over each
+    # (T, T) score matrix)
     attn_variant: str = "v1"
     # fused Pallas patchify+embed kernel (ops/pallas_patch.py): avoids
     # XLA's lane-hostile patchify relayout (~0.45 -> ~0.3 ms at the

@@ -320,7 +320,9 @@ class Attention(nn.Module):
             oq, os_ = flash_attention_ln_qkv_fused_q8(
                 x.astype(jnp.bfloat16), g, bln, kq, sw, b, h, scale,
                 valid_len=self.valid_len,
-                qk_int8=self.kernel_variant == "i8qk")
+                qk_int8=self.kernel_variant == "i8qk",
+                lean=self.kernel_variant in ("lean", "leanst"),
+                staged=self.kernel_variant in ("st", "leanst"))
             kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
             return int8_matmul_prequant_act(oq, os_, kp, sp, bp,
                                             out_dtype=self.dtype)

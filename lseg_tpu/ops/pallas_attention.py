@@ -162,7 +162,7 @@ def flash_attention_flat(
 
 
 def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
-                            qk_int8=False):
+                            qk_int8=False, mbias=None, staged=False):
     """Shared two-head interior of the fused qkv kernels: per head,
     QK^T -> masked single-pass softmax -> PV, returning the (T, 128)
     pair output in fp32. `scores_dtype` sets the score/softmax compute
@@ -174,15 +174,32 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
     rate; the rank-1 dequant (sq_i * sk_j) folds into the score scale
     pass. `qkv` is either the (T, 384) pair tensor or the
     (q2, k2, v2) tuple of (T, 128) slices (the per-slice-dequant
-    kernels pass the tuple so no VMEM concat ever happens)."""
+    kernels pass the tuple so no VMEM concat ever happens).
+
+    Two VPU-pass eliminations over the (T, T) score matrix (the
+    'lean' kernel variant):
+    - `scale == 1.0` skips the score-scale multiply entirely — callers
+      fold the softmax scale into the q dequant scales host-side
+      (softmax(scale*(q.k)) == softmax((scale*q).k) exactly);
+    - `mbias` (a (T,) fp32 lane vector: 0 for valid key columns, -inf
+      for sublane padding) replaces the per-head iota/compare/select
+      key mask with ONE broadcast add, computed once per block into a
+      VMEM scratch instead of 2*pairs times per block.
+
+    `staged=True` phase-separates the two heads (both QK matmuls, then
+    both softmax chains, then both PV matmuls) so the VLIW scheduler
+    sees head 1's MXU work independent of head 0's VPU softmax and can
+    overlap them — the serial per-head chain leaves the MXU idle
+    through every softmax. Costs a second live (T, T) score matrix in
+    VMEM."""
     if isinstance(qkv, tuple):
         q2, k2, v2 = qkv
     else:
         q2 = qkv[:, 0:128]
         k2 = qkv[:, 128:256]
         v2 = qkv[:, 256:384]
-    outs = []
-    for h in (0, 1):
+
+    def _scores(h):
         lo = h * _HD
         qh = q2[:, lo: lo + _HD]
         kh = k2[:, lo: lo + _HD]
@@ -209,20 +226,38 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
                 qh, kh,
                 dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            ).astype(scores_dtype) * jnp.asarray(scale, scores_dtype)
-        if s.shape[1] != t_valid:
+            ).astype(scores_dtype)
+            if scale != 1.0:
+                s = s * jnp.asarray(scale, scores_dtype)
+        if mbias is not None:
+            s = s + mbias.astype(s.dtype)
+        elif s.shape[1] != t_valid:
             col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
             s = jnp.where(col < t_valid, s,
                           jnp.asarray(-jnp.inf, s.dtype))
+        return s
+
+    def _softmax(s):
         m = jnp.max(s, axis=1, keepdims=True)
         p = jnp.exp(s - m)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
+        return p, l
+
+    def _pv(p, l, h):
+        lo = h * _HD
         o = jax.lax.dot_general(
             p.astype(v2.dtype), v2[:, lo: lo + _HD],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        outs.append(o / l)
+        return o / l
+
+    if staged:
+        ss = [_scores(h) for h in (0, 1)]
+        pls = [_softmax(s) for s in ss]
+        outs = [_pv(p, l, h) for h, (p, l) in enumerate(pls)]
+    else:
+        outs = [_pv(*_softmax(_scores(h)), h) for h in (0, 1)]
     return jnp.concatenate(outs, axis=1)
 
 
@@ -649,9 +684,10 @@ def _kernel_ln_qkv(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
 
 def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
                       sw_ref, b_ref,
-                      oq_ref, os_ref, xq_ref, sx_ref, obuf_ref,
+                      oq_ref, os_ref, xq_ref, sx_ref, obuf_ref, mb_ref,
                       *, scale, t_valid, eps, pairs,
-                      scores_dtype=jnp.float32, qk_int8=False):
+                      scores_dtype=jnp.float32, qk_int8=False,
+                      mask_bias=False, staged=False):
     """`_kernel_ln_qkv` emitting the attention output PRE-QUANTIZED for
     the int8 output projection: each pair's (T, 128) result accumulates
     in a bf16 VMEM scratch; at the last pair step the full (T, D) block
@@ -670,6 +706,8 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
     Splitting the dot's N dim into three 128-column dots is
     bit-identical (output columns accumulate independently)."""
     p_idx = pl.program_id(1)
+    t = xq_ref.shape[0]
+    use_mb = mask_bias and t != t_valid
 
     @pl.when(p_idx == 0)
     def _ln_quant():
@@ -683,12 +721,18 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
         sx_ref[:] = sxr
         xq_ref[:] = jnp.clip(jnp.round(xn / sxr),
                              -127, 127).astype(jnp.int8)
+        if use_mb:
+            # key-mask bias row, built ONCE per block (the per-head
+            # softmax adds it instead of an iota/compare/select pass)
+            col = jax.lax.broadcasted_iota(jnp.int32, mb_ref.shape, 1)
+            mb_ref[:] = jnp.where(col < t_valid, 0.0, -jnp.inf)
 
     parts = _dequant_qkv_parts(xq_ref[:], sx_ref[:],
                                (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
     obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
         parts, scale, t_valid, scores_dtype,
-        qk_int8=qk_int8).astype(jnp.bfloat16)
+        qk_int8=qk_int8, staged=staged,
+        mbias=mb_ref[0] if use_mb else None).astype(jnp.bfloat16)
 
     @pl.when(p_idx == pairs - 1)
     def _emit_q8():
@@ -703,7 +747,7 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
                               "valid_len", "eps", "scores_dtype",
-                              "qk_int8"),
+                              "qk_int8", "lean", "staged"),
 )
 def flash_attention_ln_qkv_fused_q8(
     x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
@@ -719,17 +763,38 @@ def flash_attention_ln_qkv_fused_q8(
     eps: float = 1e-6,
     scores_dtype=jnp.float32,
     qk_int8: bool = False,
+    lean: bool = False,
+    staged: bool = False,
 ):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
     """`flash_attention_ln_qkv_fused` emitting (int8 output, row
     scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`).
     `scores_dtype=bf16` mirrors `ViTConfig.attn_scores_dtype` (the fast
-    config's XLA-path precision) inside the kernel."""
+    config's XLA-path precision) inside the kernel.
+
+    `lean=True` removes two full VPU passes over each (T, T) score
+    matrix (see `_pair_softmax_attention`): the softmax scale is folded
+    into the q output-channel dequant scales + bias host-side (exact up
+    to one fp32 reassociation in the dequant multiply before the bf16
+    cast), and the pad-key mask becomes a precomputed bias-row add."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, t, d = x.shape
     hd = d // num_heads
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
+
+    mask_bias = False
+    if lean:
+        # fold softmax scale into the q channels (cols [0, d) of the
+        # (D, 3D) qkv projection): softmax((scale*q).k) == the scaled
+        # softmax, so the kernel's per-score multiply disappears
+        sf = jnp.float32(scale)
+        seg = jnp.concatenate([jnp.full((d,), sf, jnp.float32),
+                               jnp.ones((2 * d,), jnp.float32)])
+        sw = sw.astype(jnp.float32) * seg
+        bias = bias.astype(jnp.float32) * seg
+        scale = 1.0
+        mask_bias = True
 
     # scales/bias are tiny (3D fp32): host-rearranged into per-pair
     # sublane rows (`_qkv_rows` doc). The WEIGHT stays in its raw
@@ -745,7 +810,8 @@ def flash_attention_ln_qkv_fused_q8(
         functools.partial(_kernel_ln_qkv_q8, scale=scale,
                           t_valid=valid_len or t, eps=eps,
                           pairs=pairs, scores_dtype=scores_dtype,
-                          qk_int8=qk_int8),
+                          qk_int8=qk_int8, mask_bias=mask_bias,
+                          staged=staged),
         grid=(n, pairs),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
@@ -766,14 +832,17 @@ def flash_attention_ln_qkv_fused_q8(
             pltpu.VMEM((t, d), jnp.int8),
             pltpu.VMEM((t, 1), jnp.float32),
             pltpu.VMEM((t, d), jnp.bfloat16),
+            pltpu.VMEM((8, t), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             # The Aug-2026 toolchain allocates ~0.75 MB more stack for
             # this kernel than the 16 MB default scoped limit (it fit
             # before the drift); v5e VMEM is 128 MB — raise the scoped
-            # cap rather than shrink the single-block softmax.
-            vmem_limit_bytes=24 * 1024 * 1024,
+            # cap rather than shrink the single-block softmax. The
+            # staged interior keeps a second (T, T) fp32 score matrix
+            # live (~6.5 MB more at the flagship shape).
+            vmem_limit_bytes=(32 if staged else 24) * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),

@@ -492,6 +492,37 @@ VARIANTS = {
                           fwd_fn=lambda model, cfg: (
                               lambda v, x, t: model.apply(
                                   v, x, t, return_argmax=True))),
+    # + 'lean' lnq kernel interior: softmax scale folded into the q
+    # dequant scales + pad-key mask as a precomputed bias-row add
+    # (two fewer VPU passes over each (T,T) score matrix)
+    "int8_cf_lean": _mk(lambda: (lambda c: dataclasses.replace(
+                            c, vit=dataclasses.replace(
+                                c.vit, attn_variant="lean")))(
+                            _cfg_int8_mlpcal()),
+                        prep=_prep_int8_mlpcal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
+    # + stage-separated heads in the lnq kernel (both QK matmuls, both
+    # softmaxes, both PVs — lets the VLIW scheduler overlap head 1's
+    # MXU work with head 0's VPU softmax)
+    "int8_cf_st": _mk(lambda: (lambda c: dataclasses.replace(
+                          c, vit=dataclasses.replace(
+                              c.vit, attn_variant="st")))(
+                          _cfg_int8_mlpcal()),
+                      prep=_prep_int8_mlpcal,
+                      fwd_fn=lambda model, cfg: (
+                          lambda v, x, t: model.apply(
+                              v, x, t, return_argmax=True))),
+    # + lean AND staged
+    "int8_cf_leanst": _mk(lambda: (lambda c: dataclasses.replace(
+                              c, vit=dataclasses.replace(
+                                  c.vit, attn_variant="leanst")))(
+                              _cfg_int8_mlpcal()),
+                          prep=_prep_int8_mlpcal,
+                          fwd_fn=lambda model, cfg: (
+                              lambda v, x, t: model.apply(
+                                  v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(

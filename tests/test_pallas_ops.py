@@ -967,6 +967,41 @@ def test_flashlnq_scores_dtype_and_i8qk_variants_agree():
         assert err < bound, (kw, err)
 
 
+def test_flashlnq_lean_variant_matches_default():
+    """attn_variant='lean' (softmax scale folded into the q dequant
+    scales host-side + pad-key mask as a precomputed bias-row add —
+    two fewer VPU passes per (T, T) score matrix) is exact up to one
+    fp32 reassociation in the q dequant multiply before its bf16 cast;
+    pin near-exact agreement with the default kernel on BOTH the
+    padded (valid_len < T, mbias path) and unpadded interiors."""
+    from lseg_tpu.ops.pallas_attention import (
+        flash_attention_ln_qkv_fused_q8,
+    )
+
+    rng = np.random.RandomState(1)
+    n, t, d, heads = 2, 32, 128, 2
+    x = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(1 + 0.1 * rng.randn(d).astype(np.float32))
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rng.randint(-127, 128, (d, 3 * d)).astype(np.int8))
+    sw = jnp.asarray(rng.rand(3 * d).astype(np.float32) * 0.01)
+    bias = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.05)
+
+    for valid_len in (None, 29):
+        def run(**kw):
+            oq, os = flash_attention_ln_qkv_fused_q8(
+                x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
+                interpret=True, valid_len=valid_len, **kw)
+            return (np.asarray(oq, np.float32)
+                    * np.asarray(os, np.float32))
+
+        ref = run()
+        got = run(lean=True)
+        err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err < 2e-2, (valid_len, err)
+
+
 def test_lowres_head_matches_standard_argmax_head():
     """head_fused='lowres' (head1+correlate at H/4 on refinenet1's
     pre-upsample output, x2 logit upsample, argmax at H/2): the label

@@ -162,7 +162,8 @@ def flash_attention_flat(
 
 
 def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
-                            qk_int8=False, mbias=None, staged=False):
+                            qk_int8=False, mbias=None, staged=False,
+                            use_exp2=False):
     """Shared two-head interior of the fused qkv kernels: per head,
     QK^T -> masked single-pass softmax -> PV, returning the (T, 128)
     pair output in fp32. `scores_dtype` sets the score/softmax compute
@@ -239,7 +240,11 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
 
     def _softmax(s):
         m = jnp.max(s, axis=1, keepdims=True)
-        p = jnp.exp(s - m)
+        # use_exp2: caller folded log2(e) into the scores (via the
+        # lean q-scale fold), so exp2(s - m) == exp of the unfolded
+        # scores exactly in real math — skips exp's internal
+        # multiply-by-log2e per element on the VPU transcendental path
+        p = jnp.exp2(s - m) if use_exp2 else jnp.exp(s - m)
         l = jnp.sum(p.astype(jnp.float32), axis=1, keepdims=True)
         return p, l
 
@@ -687,7 +692,7 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
                       oq_ref, os_ref, xq_ref, sx_ref, obuf_ref, mb_ref,
                       *, scale, t_valid, eps, pairs,
                       scores_dtype=jnp.float32, qk_int8=False,
-                      mask_bias=False, staged=False):
+                      mask_bias=False, staged=False, use_exp2=False):
     """`_kernel_ln_qkv` emitting the attention output PRE-QUANTIZED for
     the int8 output projection: each pair's (T, 128) result accumulates
     in a bf16 VMEM scratch; at the last pair step the full (T, D) block
@@ -731,7 +736,7 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
                                (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
     obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
         parts, scale, t_valid, scores_dtype,
-        qk_int8=qk_int8, staged=staged,
+        qk_int8=qk_int8, staged=staged, use_exp2=use_exp2,
         mbias=mb_ref[0] if use_mb else None).astype(jnp.bfloat16)
 
     @pl.when(p_idx == pairs - 1)
@@ -747,7 +752,7 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
                               "valid_len", "eps", "scores_dtype",
-                              "qk_int8", "lean", "staged"),
+                              "qk_int8", "lean", "staged", "exp2"),
 )
 def flash_attention_ln_qkv_fused_q8(
     x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
@@ -765,6 +770,7 @@ def flash_attention_ln_qkv_fused_q8(
     qk_int8: bool = False,
     lean: bool = False,
     staged: bool = False,
+    exp2: bool = False,
 ):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
     """`flash_attention_ln_qkv_fused` emitting (int8 output, row
     scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`).
@@ -783,12 +789,16 @@ def flash_attention_ln_qkv_fused_q8(
     assert hd == _HD and num_heads % 2 == 0, (hd, num_heads)
     pairs = num_heads // 2
 
+    if exp2:
+        lean = True  # the log2(e) fold rides the lean scale fold
     mask_bias = False
     if lean:
         # fold softmax scale into the q channels (cols [0, d) of the
         # (D, 3D) qkv projection): softmax((scale*q).k) == the scaled
-        # softmax, so the kernel's per-score multiply disappears
-        sf = jnp.float32(scale)
+        # softmax, so the kernel's per-score multiply disappears.
+        # exp2 additionally folds log2(e) so the kernel's exp becomes
+        # a bare exp2 (exp(x) == exp2(x*log2(e)))
+        sf = jnp.float32(scale * (1.4426950408889634 if exp2 else 1.0))
         seg = jnp.concatenate([jnp.full((d,), sf, jnp.float32),
                                jnp.ones((2 * d,), jnp.float32)])
         sw = sw.astype(jnp.float32) * seg
@@ -811,7 +821,7 @@ def flash_attention_ln_qkv_fused_q8(
                           t_valid=valid_len or t, eps=eps,
                           pairs=pairs, scores_dtype=scores_dtype,
                           qk_int8=qk_int8, mask_bias=mask_bias,
-                          staged=staged),
+                          staged=staged, use_exp2=exp2),
         grid=(n, pairs),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),

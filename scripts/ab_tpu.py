@@ -523,6 +523,16 @@ VARIANTS = {
                           fwd_fn=lambda model, cfg: (
                               lambda v, x, t: model.apply(
                                   v, x, t, return_argmax=True))),
+    # + lean with exp2 (log2(e) folded into the q-scale fold; the
+    # kernel's exp becomes a bare exp2)
+    "int8_cf_lx2": _mk(lambda: (lambda c: dataclasses.replace(
+                           c, vit=dataclasses.replace(
+                               c.vit, attn_variant="lx2")))(
+                           _cfg_int8_mlpcal()),
+                       prep=_prep_int8_mlpcal,
+                       fwd_fn=lambda model, cfg: (
+                           lambda v, x, t: model.apply(
+                               v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(

@@ -1001,6 +1001,15 @@ def test_flashlnq_lean_variant_matches_default():
         err = np.abs(got - ref).max() / (np.abs(ref).max() + 1e-9)
         assert err < 2e-2, (valid_len, err)
 
+        # exp2 rides the lean fold with log2(e) additionally folded
+        # into the q scales; unlike lean's exact power-of-two scale
+        # fold, log2(e) changes the bf16 q rounding, so the bound is
+        # looser (measured ~4% on this random fixture; trained-margin
+        # behavior is gated like every other fast-int8 knob)
+        got2 = run(exp2=True)
+        err2 = np.abs(got2 - ref).max() / (np.abs(ref).max() + 1e-9)
+        assert err2 < 8e-2, (valid_len, err2)
+
 
 def test_lowres_head_matches_standard_argmax_head():
     """head_fused='lowres' (head1+correlate at H/4 on refinenet1's

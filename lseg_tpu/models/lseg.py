@@ -177,10 +177,15 @@ class LSegNet(nn.Module):
         # lowres-correlation serving head (head_fused='lowres', argmax
         # mode): refinenet1 returns its PRE-upsample conv output, the
         # head projects+correlates on 4x fewer pixels, and only the
-        # (.., K) logit map is x2-upsampled before the argmax. Exact
-        # commute: the upsample and the head matmuls are both linear,
-        # and the skipped per-pixel norm is argmax-invariant at the
-        # upsampled resolution.
+        # (.., K) logit map is x2-upsampled before the argmax. The
+        # upsample and the head matmuls commute exactly (both linear)
+        # and the skipped per-pixel norm is argmax-invariant — but when
+        # quantized, path1 is ROUNDED TO THE int8 GRID AT H/4 (before
+        # the upsample) instead of H/2, so up(Q(x)) != Q(up(x)) is a
+        # real additional approximation vs the standard fused argmax
+        # head, on top of bf16 interp rounding. Gated like the other
+        # fast-int8 knobs: label agreement >0.97 + trained-model mIoU
+        # delta <0.03 (tests/test_pallas_ops.py, tests/test_quant.py).
         use_lowres_head = (
             use_head_fused and cfg.head_fused == "lowres"
             and cfg.decoder_conv_first and return_argmax
@@ -244,7 +249,6 @@ class LSegNet(nn.Module):
 
                 pred = head1_correlate_argmax_fused_t(
                     xq8, sxs, kq, s1, b1, text_features,
-                    logit_scale=cfg.logit_scale,
                 )
                 return pred if return_halfres else _nearest2x(pred)
             if cfg.head_fused == "wup" and not return_halfres:

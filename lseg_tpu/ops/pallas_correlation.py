@@ -442,7 +442,7 @@ def _head1_argmax_kernel(xq_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+    jax.jit, static_argnames=("tile_m", "interpret")
 )
 def head1_correlate_argmax_fused(
     xq: jnp.ndarray,      # (N, H, W, C) int8 — quantized path1
@@ -451,7 +451,6 @@ def head1_correlate_argmax_fused(
     s1: jnp.ndarray,      # (E,) fp32 per-channel weight scales
     b1: jnp.ndarray,      # (E,) fp32 head1 bias
     text_features: jnp.ndarray,  # (K, E) fp32 raw text features
-    logit_scale: float = 1.0 / 0.07,
     tile_m: int = 512,
     interpret: bool = None,
 ) -> jnp.ndarray:         # (N, H, W) int32 class predictions
@@ -461,7 +460,13 @@ def head1_correlate_argmax_fused(
     half-res-argmax serving mode; callers nearest-upsample the label
     map). Kills the whole XLA logit tail (relayout copy + H-interp +
     W-interp/argmax ≈ 2.2 ms/batch-8 at the flagship shape): only
-    (N, H, W) int32 leaves the device path."""
+    (N, H, W) int32 leaves the device path.
+
+    There is NO logit_scale parameter and NO per-pixel embedding norm
+    here, intentionally: argmax is invariant to the positive
+    temperature and to the positive per-pixel norm factor, so both are
+    omitted from the kernel entirely (the logit-emitting variants keep
+    them)."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, h, w, c = xq.shape
@@ -554,7 +559,7 @@ def _head1_argmax_t_kernel(x_ref, w_ref, sc_ref, b_ref, t_ref, o_ref, *,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("logit_scale", "tile_m", "interpret")
+    jax.jit, static_argnames=("tile_m", "interpret")
 )
 def head1_correlate_argmax_fused_t(
     x: jnp.ndarray,       # (N, H, W, C) int8 OR bf16 path1
@@ -563,7 +568,6 @@ def head1_correlate_argmax_fused_t(
     s1: jnp.ndarray,      # (E,) fp32 per-channel weight scales
     b1: jnp.ndarray,      # (E,) fp32 head1 bias
     text_features: jnp.ndarray,  # (K, E) fp32 raw text features
-    logit_scale: float = 1.0 / 0.07,
     tile_m: int = 1024,
     interpret: bool = None,
 ) -> jnp.ndarray:         # (N, H, W) int32 class predictions
@@ -571,7 +575,9 @@ def head1_correlate_argmax_fused_t(
     dense lane-major output (see `_head1_argmax_t_kernel`), accepting
     either a pre-quantized int8 path1 or the bf16 tensor directly
     (in-kernel quantize, bit-identical label map either way).
-    Reference semantics: lseg_net.py:185-196 + argmax of
+    Like the row-major form, logit_scale and the per-pixel norm are
+    intentionally absent — argmax is invariant to both positive
+    factors. Reference semantics: lseg_net.py:185-196 + argmax of
     lseg_app.py:357 at half resolution."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

@@ -9,9 +9,9 @@ token ids feed the jit'd `CLIPTextEncoder`.
 This is a from-scratch implementation of the standard byte-level BPE
 algorithm with CLIP's conventions:
 
-- text is lowercased, html-unescaped and whitespace-collapsed
-  (ftfy's mojibake fixing is NOT applied — it is a no-op for normal
-  label strings; gate: install ftfy for byte-parity on malformed input);
+- text is mojibake-repaired (a minimal ftfy.fix_text equivalent for
+  the UTF-8-as-cp1252/latin-1 case, see `_fix_mojibake`), lowercased,
+  html-unescaped and whitespace-collapsed;
 - words are split with CLIP's regex (contractions, letter runs, digit
   singletons, punctuation runs);
 - each word's bytes map through a reversible byte→unicode table, the
@@ -79,7 +79,41 @@ def byte_unicode_table() -> Dict[int, str]:
     return table
 
 
+def _fix_mojibake(text: str) -> str:
+    """Minimal ftfy.fix_text equivalent for the case that matters:
+    UTF-8 bytes mis-decoded as cp1252/latin-1 ('cafÃ©' -> 'café'),
+    including the double-encoded form ('cafÃƒÂ©', two passes).
+
+    The reference pipeline runs ftfy.fix_text before html.unescape
+    (reference: clip/clip.py basic_clean via modules/models/
+    lseg_net.py:158-164's clip.tokenize). ftfy's core heuristic is the
+    same round-trip used here: re-encode with a legacy single-byte
+    codec and accept the result only if it is strict, valid UTF-8 that
+    actually changed the string — genuine accented/CJK text survives
+    untouched because its legacy re-encoding either fails or is not
+    valid UTF-8 (e.g. 'café'.encode('cp1252') = b'caf\\xe9', an
+    invalid UTF-8 continuation). ftfy's long tail (curly-quote
+    repair across other codec pairs, encoding-detection scoring) is
+    out of scope: label strings never trip it."""
+    for _ in range(2):
+        if text.isascii():
+            return text
+        for codec in ("cp1252", "latin-1"):
+            try:
+                fixed = text.encode(codec).decode("utf-8")
+                break
+            except (UnicodeEncodeError, UnicodeDecodeError):
+                continue
+        else:
+            return text
+        if fixed == text:
+            return text
+        text = fixed
+    return text
+
+
 def _clean(text: str) -> str:
+    text = _fix_mojibake(text)
     text = html.unescape(html.unescape(text))
     text = " ".join(text.split())
     return text.strip().lower()

@@ -51,6 +51,24 @@ def test_clean_lowercases_and_collapses():
     assert tok.encode("  CaT \n") == tok.encode("cat")
 
 
+def test_clean_fixes_mojibake():
+    """_fix_mojibake repairs UTF-8-as-cp1252/latin-1 mis-decodes
+    (single and double encoded) and leaves genuine text untouched —
+    the ftfy.fix_text stage of the reference's basic_clean."""
+    from lseg_tpu.text.tokenizer import _fix_mojibake
+
+    assert _fix_mojibake("cafÃ©") == "café"
+    assert _fix_mojibake("naÃ¯ve dog") == "naïve dog"
+    # double-encoded: é -> 'Ã©' -> 'ÃƒÂ©'
+    assert _fix_mojibake("cafÃƒÂ©") == "café"
+    # genuine text passes through: accents, CJK, ASCII, lone symbols
+    for s in ("café", "naïve", "犬", "plain ascii", "©", "±5°C"):
+        assert _fix_mojibake(s) == s
+    # and the tokenizer consumes the repaired form
+    tok = ClipBPETokenizer.for_tests()
+    assert tok.encode("cÃ¡t") == tok.encode("cát")
+
+
 def test_label_parsers(tmp_path):
     p = tmp_path / "obj.txt"
     p.write_text(

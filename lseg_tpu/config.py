@@ -83,10 +83,12 @@ class ViTConfig:
     # flat flash kernel interior variant: 'v1' (per-head chains),
     # 'v2' (stage-separated heads + exp2 — scheduler can overlap one
     # head's softmax VPU work with the other's MXU matmuls), 'i8qk'
-    # (int8 QK; measured worse), or 'lean' (flashlnq only: softmax
+    # (int8 QK; measured worse), 'lean' (flashlnq only: softmax
     # scale folded into the q dequant scales + pad-key mask as a
     # precomputed bias-row add — two fewer VPU passes over each
-    # (T, T) score matrix)
+    # (T, T) score matrix), 'lx2' (lean + log2(e) fold, bare exp2
+    # softmax), or 'quad' (flashlnq only, heads % 4 == 0: two pairs
+    # per grid step — half the grid steps, identical arithmetic)
     attn_variant: str = "v1"
     # fused Pallas patchify+embed kernel (ops/pallas_patch.py): avoids
     # XLA's lane-hostile patchify relayout (~0.45 -> ~0.3 ms at the

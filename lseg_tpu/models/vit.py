@@ -323,7 +323,8 @@ class Attention(nn.Module):
                 qk_int8=self.kernel_variant == "i8qk",
                 lean=self.kernel_variant in ("lean", "leanst"),
                 staged=self.kernel_variant in ("st", "leanst"),
-                exp2=self.kernel_variant == "lx2")
+                exp2=self.kernel_variant == "lx2",
+                quad=self.kernel_variant == "quad" and h % 4 == 0)
             kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
             return int8_matmul_prequant_act(oq, os_, kp, sp, bp,
                                             out_dtype=self.dtype)

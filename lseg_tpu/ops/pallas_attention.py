@@ -266,26 +266,38 @@ def _pair_softmax_attention(qkv, scale, t_valid, scores_dtype,
     return jnp.concatenate(outs, axis=1)
 
 
-def _dequant_qkv_parts(xq, sx, w_refs, sw_ref, b_ref):
+def _dequant_qkv_parts(xq, sx, w_refs, sw_ref, b_ref, row_off=0,
+                       lane_off=None):
     """Shared int8-matmul + dequant interior of the fused qkv kernels:
     per q/k/v slice i, xq(T,D)i8 @ w(D,128)i8 on the int8 MXU, then
     `acc * sx * sw_row_i + b_row_i` in fp32 -> bf16.
 
-    `sw_ref`/`b_ref` are (3, 128) blocks — ONE SUBLANE ROW PER SLICE.
-    Mosaic toolchain constraint (Aug 2026 drift, BENCH_r04 / round-5
-    fix, validated by scripts/mosaic_probe.py): broadcasting a
-    LANE-OFFSET slice of a one-row block (`sw[0][:, 128:256]`, layout
-    lane offset 128) against the (T, 128) accumulator is rejected with
-    'Invalid input layout'; whole-sublane-row indexing (`sw_ref[i]`,
-    a (128,) lane vector) compiles."""
+    `sw_ref`/`b_ref` are (3, 128) blocks — ONE SUBLANE ROW PER SLICE
+    (`row_off` shifts the row base for kernels whose block carries
+    more than one pair's rows). Mosaic toolchain constraint (Aug 2026
+    drift, BENCH_r04 / round-5 fix, validated by
+    scripts/mosaic_probe.py): broadcasting a LANE-OFFSET slice of a
+    one-row block (`sw[0][:, 128:256]`, layout lane offset 128)
+    against the (T, 128) accumulator is rejected with 'Invalid input
+    layout'; whole-sublane-row indexing (`sw_ref[i]`, a (128,) lane
+    vector) compiles.
+
+    `lane_off` selects a 128-lane column slice of WIDER (D, 128k)
+    weight blocks (the quad kernel feeds (D, 256) blocks covering two
+    pairs) — a whole-lane-tile slice, the same construct as the
+    (T, 384) qkv slicing in `_pair_softmax_attention`."""
     parts = []
     for i, w_ref in enumerate(w_refs):
+        w = w_ref[:]
+        if lane_off is not None:
+            w = w[:, lane_off: lane_off + 128]
         acc = jax.lax.dot_general(
-            xq, w_ref[:], dimension_numbers=(((1,), (0,)), ((), ())),
+            xq, w, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
         parts.append((acc.astype(jnp.float32) * sx
-                      * sw_ref[i] + b_ref[i]).astype(jnp.bfloat16))
+                      * sw_ref[row_off + i] + b_ref[row_off + i]
+                      ).astype(jnp.bfloat16))
     return tuple(parts)
 
 
@@ -692,7 +704,8 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
                       oq_ref, os_ref, xq_ref, sx_ref, obuf_ref, mb_ref,
                       *, scale, t_valid, eps, pairs,
                       scores_dtype=jnp.float32, qk_int8=False,
-                      mask_bias=False, staged=False, use_exp2=False):
+                      mask_bias=False, staged=False, use_exp2=False,
+                      pairs_per_step=1):
     """`_kernel_ln_qkv` emitting the attention output PRE-QUANTIZED for
     the int8 output projection: each pair's (T, 128) result accumulates
     in a bf16 VMEM scratch; at the last pair step the full (T, D) block
@@ -732,14 +745,23 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
             col = jax.lax.broadcasted_iota(jnp.int32, mb_ref.shape, 1)
             mb_ref[:] = jnp.where(col < t_valid, 0.0, -jnp.inf)
 
-    parts = _dequant_qkv_parts(xq_ref[:], sx_ref[:],
-                               (wq_ref, wk_ref, wv_ref), sw_ref, b_ref)
-    obuf_ref[:, pl.ds(p_idx * 128, 128)] = _pair_softmax_attention(
-        parts, scale, t_valid, scores_dtype,
-        qk_int8=qk_int8, staged=staged, use_exp2=use_exp2,
-        mbias=mb_ref[0] if use_mb else None).astype(jnp.bfloat16)
+    # pairs_per_step > 1 ('quad' variant): this grid step's weight
+    # blocks are (D, 128*pps) covering pps consecutive pairs and its
+    # scale/bias block carries pps row groups; the pair interior runs
+    # pps times per step, halving the grid-step count (fewer per-step
+    # fixed costs; identical arithmetic in identical order)
+    for j in range(pairs_per_step):
+        parts = _dequant_qkv_parts(
+            xq_ref[:], sx_ref[:], (wq_ref, wk_ref, wv_ref),
+            sw_ref, b_ref, row_off=8 * j,
+            lane_off=128 * j if pairs_per_step > 1 else None)
+        pair = p_idx * pairs_per_step + j
+        obuf_ref[:, pl.ds(pair * 128, 128)] = _pair_softmax_attention(
+            parts, scale, t_valid, scores_dtype,
+            qk_int8=qk_int8, staged=staged, use_exp2=use_exp2,
+            mbias=mb_ref[0] if use_mb else None).astype(jnp.bfloat16)
 
-    @pl.when(p_idx == pairs - 1)
+    @pl.when(p_idx == pairs // pairs_per_step - 1)
     def _emit_q8():
         of = obuf_ref[:].astype(jnp.float32)           # (T, D)
         amax = jnp.max(jnp.abs(of), axis=1, keepdims=True)
@@ -752,7 +774,8 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
 @functools.partial(
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
                               "valid_len", "eps", "scores_dtype",
-                              "qk_int8", "lean", "staged", "exp2"),
+                              "qk_int8", "lean", "staged", "exp2",
+                              "quad"),
 )
 def flash_attention_ln_qkv_fused_q8(
     x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
@@ -771,6 +794,7 @@ def flash_attention_ln_qkv_fused_q8(
     lean: bool = False,
     staged: bool = False,
     exp2: bool = False,
+    quad: bool = False,
 ):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
     """`flash_attention_ln_qkv_fused` emitting (int8 output, row
     scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`).
@@ -810,25 +834,32 @@ def flash_attention_ln_qkv_fused_q8(
     # sublane rows (`_qkv_rows` doc). The WEIGHT stays in its raw
     # (D, 3D) layout and is fed through three per-pair column
     # BlockSpecs (q at col p, k at pairs+p, v at 2*pairs+p, in
-    # 128-lane units) — see _kernel doc.
+    # 128-lane units) — see _kernel doc. `quad` processes TWO pairs
+    # per grid step ((D, 256) weight blocks, 16-row scale blocks):
+    # half the grid steps, identical arithmetic.
+    pps = 2 if quad else 1
+    assert pairs % pps == 0, (pairs, pps)
+    steps = pairs // pps
     sw3, b3 = _qkv_rows(sw, bias, pairs)
 
     def wcol(off):
-        return pl.BlockSpec((d, 128), lambda ni, p: (0, off + p))
+        return pl.BlockSpec((d, 128 * pps), lambda ni, p: (0, off + p))
 
     oq, os = pl.pallas_call(
         functools.partial(_kernel_ln_qkv_q8, scale=scale,
                           t_valid=valid_len or t, eps=eps,
                           pairs=pairs, scores_dtype=scores_dtype,
                           qk_int8=qk_int8, mask_bias=mask_bias,
-                          staged=staged, use_exp2=exp2),
-        grid=(n, pairs),
+                          staged=staged, use_exp2=exp2,
+                          pairs_per_step=pps),
+        grid=(n, steps),
         in_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
             pl.BlockSpec((1, d), lambda ni, p: (0, 0)),
-            wcol(0), wcol(pairs), wcol(2 * pairs),
-            _qkv_rows_spec(), _qkv_rows_spec(),
+            wcol(0), wcol(steps), wcol(2 * steps),
+            pl.BlockSpec((8 * pps, 128), lambda ni, p: (p, 0)),
+            pl.BlockSpec((8 * pps, 128), lambda ni, p: (p, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, t, d), lambda ni, p: (ni, 0, 0)),

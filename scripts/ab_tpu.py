@@ -533,6 +533,16 @@ VARIANTS = {
                        fwd_fn=lambda model, cfg: (
                            lambda v, x, t: model.apply(
                                v, x, t, return_argmax=True))),
+    # + quad: two head-pairs per flashlnq grid step (half the grid
+    # steps; identical arithmetic in identical order)
+    "int8_cf_quad": _mk(lambda: (lambda c: dataclasses.replace(
+                            c, vit=dataclasses.replace(
+                                c.vit, attn_variant="quad")))(
+                            _cfg_int8_mlpcal()),
+                        prep=_prep_int8_mlpcal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(

@@ -1011,6 +1011,38 @@ def test_flashlnq_lean_variant_matches_default():
         assert err2 < 8e-2, (valid_len, err2)
 
 
+def test_flashlnq_quad_variant_matches_default():
+    """quad (two head-pairs per grid step: (D, 256) weight blocks +
+    16-row scale blocks, pair interiors run twice per step) performs
+    IDENTICAL arithmetic in identical order to the pair-per-step
+    default — the emitted (int8, scales) must match exactly."""
+    from lseg_tpu.ops.pallas_attention import (
+        flash_attention_ln_qkv_fused_q8,
+    )
+
+    rng = np.random.RandomState(2)
+    n, t, d, heads = 2, 32, 256, 4  # pairs=2 -> one quad step
+    x = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3
+                    ).astype(jnp.bfloat16)
+    g = jnp.asarray(1 + 0.1 * rng.randn(d).astype(np.float32))
+    b = jnp.asarray(rng.randn(d).astype(np.float32) * 0.1)
+    wq = jnp.asarray(rng.randint(-127, 128, (d, 3 * d)).astype(np.int8))
+    sw = jnp.asarray(rng.rand(3 * d).astype(np.float32) * 0.01)
+    bias = jnp.asarray(rng.randn(3 * d).astype(np.float32) * 0.05)
+
+    for valid_len in (None, 29):
+        ref_q, ref_s = flash_attention_ln_qkv_fused_q8(
+            x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
+            interpret=True, valid_len=valid_len)
+        got_q, got_s = flash_attention_ln_qkv_fused_q8(
+            x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
+            interpret=True, valid_len=valid_len, quad=True)
+        np.testing.assert_array_equal(np.asarray(ref_q),
+                                      np.asarray(got_q))
+        np.testing.assert_array_equal(np.asarray(ref_s),
+                                      np.asarray(got_s))
+
+
 def test_lowres_head_matches_standard_argmax_head():
     """head_fused='lowres' (head1+correlate at H/4 on refinenet1's
     pre-upsample output, x2 logit upsample, argmax at H/2): the label

@@ -53,8 +53,8 @@ NORTH_STAR = 300.0  # img/s/chip on v5e (BASELINE.json)
 # Fallback ladder, fastest first. Each rung removes the kernel family
 # most likely to have broken in the rung above it; the last rung is
 # pure XLA (no Pallas at all) and compiles on any toolchain.
-LADDER = ("fast_cal", "fast_flashq", "fast_flashflat", "fast_bf16",
-          "xla_bf16")
+LADDER = ("fast_cal", "fast_cal_pair", "fast_flashq", "fast_flashflat",
+          "fast_bf16", "xla_bf16")
 
 _best_line: str | None = None
 _config_name: str = "fast_cal"
@@ -99,6 +99,13 @@ def _build_cfg(name: str):
         # tests/test_quant.py; evaluate.py defaults to the parity
         # config and opts in via --fast [--int8].
         return fast_serving(base, quant="static_cal"), "static_cal"
+    if name == "fast_cal_pair":
+        # fast_cal with the pair-per-step flashlnq grid (the pre-r5
+        # default) — one rung below the quad grid variant
+        cfg = fast_serving(base, quant="static_cal")
+        cfg = dataclasses.replace(cfg, vit=dataclasses.replace(
+            cfg.vit, attn_variant="v1"))
+        return cfg, "static_cal"
     if name == "fast_flashq":
         # no LN-fused kernels: external LN + flash_attention_qkv_fused
         cfg = fast_serving(base, quant="static_cal")

@@ -385,6 +385,14 @@ def fast_serving(cfg: LSegConfig, quant: Any = False) -> LSegConfig:
         vit = dataclasses.replace(
             vit,
             attn_impl=impl,
+            # quad: two head-pairs per flashlnq grid step — half the
+            # grid steps, bit-identical arithmetic (exact-match parity
+            # test); 29.62-29.67 vs 29.75-29.82 ms/b8 interleaved,
+            # consistent across reps (r5). Attention self-gates on
+            # heads % 4 inside Attention.
+            attn_variant="quad" if (quant and use_flashflat
+                                    and vit.attn_variant == "v1")
+            else vit.attn_variant,
             attn_scores_dtype="bfloat16",
             mlp_gelu="tanh",
             quant_int8="static" if quant else vit.quant_int8,

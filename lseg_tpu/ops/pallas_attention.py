@@ -882,8 +882,10 @@ def flash_attention_ln_qkv_fused_q8(
             # before the drift); v5e VMEM is 128 MB — raise the scoped
             # cap rather than shrink the single-block softmax. The
             # staged interior keeps a second (T, T) fp32 score matrix
-            # live (~6.5 MB more at the flagship shape).
-            vmem_limit_bytes=(32 if staged else 24) * 1024 * 1024,
+            # live (~6.5 MB more at the flagship shape); quad's wider
+            # (D, 256) weight blocks overflow 24 MB by 0.4 MB.
+            vmem_limit_bytes=(32 if (staged or quad)
+                              else 24) * 1024 * 1024,
         ),
         interpret=interpret,
     )(x, ln_scale.astype(jnp.float32).reshape(1, d),

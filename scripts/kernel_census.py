@@ -73,6 +73,22 @@ b = jnp.zeros((3072,), jnp.float32)
 jax.jit(lambda *a: flash_attention_ln_qkv_fused_q8(
     *a, 16, 0.125, valid_len=901)).lower(x, g, bl, w, sw, b).compile()
 """,
+    # the adopted fast-serving form since round 5: two head-pairs per
+    # grid step (fast_serving sets attn_variant='quad')
+    "flashlnq_q8_quad": """
+import jax, jax.numpy as jnp
+from lseg_tpu.ops.pallas_attention import (
+    flash_attention_ln_qkv_fused_q8)
+x = jnp.zeros((8, 904, 1024), jnp.bfloat16)
+g = jnp.zeros((1024,), jnp.float32)
+bl = jnp.zeros((1024,), jnp.float32)
+w = jnp.zeros((1024, 3072), jnp.int8)
+sw = jnp.zeros((3072,), jnp.float32)
+b = jnp.zeros((3072,), jnp.float32)
+jax.jit(lambda *a: flash_attention_ln_qkv_fused_q8(
+    *a, 16, 0.125, valid_len=901, quad=True,
+)).lower(x, g, bl, w, sw, b).compile()
+""",
     "lnf": """
 import jax, jax.numpy as jnp
 from lseg_tpu.ops.pallas_ln import ln_quantize_rows

@@ -324,7 +324,14 @@ class Attention(nn.Module):
                 lean=self.kernel_variant in ("lean", "leanst"),
                 staged=self.kernel_variant in ("st", "leanst"),
                 exp2=self.kernel_variant == "lx2",
-                quad=self.kernel_variant == "quad" and h % 4 == 0)
+                quad=self.kernel_variant == "quad" and h % 4 == 0,
+                pairs_per_step=(
+                    # 'octo' = 4 pairs (8 heads) per grid step,
+                    # 'mono' = ALL pairs in one grid step per image
+                    4 if self.kernel_variant == "octo" and h % 8 == 0
+                    else h // 2 if (self.kernel_variant == "mono"
+                                    and h % 2 == 0)
+                    else None))
             kp, sp, bp = _StaticDenseParams(d, name="proj")(d)
             return int8_matmul_prequant_act(oq, os_, kp, sp, bp,
                                             out_dtype=self.dtype)

@@ -775,7 +775,7 @@ def _kernel_ln_qkv_q8(x_ref, g_ref, bln_ref, wq_ref, wk_ref, wv_ref,
     jax.jit, static_argnames=("num_heads", "scale", "interpret",
                               "valid_len", "eps", "scores_dtype",
                               "qk_int8", "lean", "staged", "exp2",
-                              "quad"),
+                              "quad", "pairs_per_step"),
 )
 def flash_attention_ln_qkv_fused_q8(
     x: jnp.ndarray,       # (N, T, D) bf16 — RAW residual stream
@@ -795,6 +795,7 @@ def flash_attention_ln_qkv_fused_q8(
     staged: bool = False,
     exp2: bool = False,
     quad: bool = False,
+    pairs_per_step: int = None,
 ):                        # -> ((N, T, D) int8, (N, T, 1) fp32)
     """`flash_attention_ln_qkv_fused` emitting (int8 output, row
     scales) for the static-int8 output projection (`_kernel_ln_qkv_q8`).
@@ -836,8 +837,9 @@ def flash_attention_ln_qkv_fused_q8(
     # BlockSpecs (q at col p, k at pairs+p, v at 2*pairs+p, in
     # 128-lane units) — see _kernel doc. `quad` processes TWO pairs
     # per grid step ((D, 256) weight blocks, 16-row scale blocks):
-    # half the grid steps, identical arithmetic.
-    pps = 2 if quad else 1
+    # half the grid steps, identical arithmetic. `pairs_per_step`
+    # generalizes (2 == quad; `pairs` == one grid step per image).
+    pps = pairs_per_step or (2 if quad else 1)
     assert pairs % pps == 0, (pairs, pps)
     steps = pairs // pps
     sw3, b3 = _qkv_rows(sw, bias, pairs)
@@ -882,9 +884,15 @@ def flash_attention_ln_qkv_fused_q8(
             # before the drift); v5e VMEM is 128 MB — raise the scoped
             # cap rather than shrink the single-block softmax. The
             # staged interior keeps a second (T, T) fp32 score matrix
-            # live (~6.5 MB more at the flagship shape); quad's wider
-            # (D, 256) weight blocks overflow 24 MB by 0.4 MB.
-            vmem_limit_bytes=(32 if (staged or quad)
+            # live (~6.5 MB more at the flagship shape); multi-pair
+            # steps cost ~6.5 MB PER PAIR IN THE STEP on top — Mosaic's
+            # stack allocator does not reuse the unrolled pair
+            # interiors' score buffers across iterations (measured:
+            # pps=8 allocates 67.4 MB at the flagship shape). v5e has
+            # 128 MB; cap accordingly.
+            vmem_limit_bytes=(96 if pps > 4 else
+                              56 if pps > 2 else
+                              32 if (staged or pps > 1)
                               else 24) * 1024 * 1024,
         ),
         interpret=interpret,

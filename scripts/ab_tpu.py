@@ -543,6 +543,23 @@ VARIANTS = {
                         fwd_fn=lambda model, cfg: (
                             lambda v, x, t: model.apply(
                                 v, x, t, return_argmax=True))),
+    # + octo / mono: 4 pairs / ALL pairs per grid step
+    "int8_cf_octo": _mk(lambda: (lambda c: dataclasses.replace(
+                            c, vit=dataclasses.replace(
+                                c.vit, attn_variant="octo")))(
+                            _cfg_int8_mlpcal()),
+                        prep=_prep_int8_mlpcal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
+    "int8_cf_mono": _mk(lambda: (lambda c: dataclasses.replace(
+                            c, vit=dataclasses.replace(
+                                c.vit, attn_variant="mono")))(
+                            _cfg_int8_mlpcal()),
+                        prep=_prep_int8_mlpcal,
+                        fwd_fn=lambda model, cfg: (
+                            lambda v, x, t: model.apply(
+                                v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(

@@ -1011,17 +1011,18 @@ def test_flashlnq_lean_variant_matches_default():
         assert err2 < 8e-2, (valid_len, err2)
 
 
-def test_flashlnq_quad_variant_matches_default():
-    """quad (two head-pairs per grid step: (D, 256) weight blocks +
-    16-row scale blocks, pair interiors run twice per step) performs
-    IDENTICAL arithmetic in identical order to the pair-per-step
-    default — the emitted (int8, scales) must match exactly."""
+def test_flashlnq_multipair_variants_match_default():
+    """quad/octo/mono (2 / 4 / all head-pairs per grid step: wider
+    weight blocks + multi-group scale blocks, the pair interior runs
+    pps times per step) perform IDENTICAL arithmetic in identical
+    order to the pair-per-step default — the emitted (int8, scales)
+    must match exactly at every pairs_per_step factor."""
     from lseg_tpu.ops.pallas_attention import (
         flash_attention_ln_qkv_fused_q8,
     )
 
     rng = np.random.RandomState(2)
-    n, t, d, heads = 2, 32, 256, 4  # pairs=2 -> one quad step
+    n, t, d, heads = 2, 32, 512, 8  # pairs=4 -> pps in {2, 4}
     x = jnp.asarray(rng.randn(n, t, d).astype(np.float32) * 0.3
                     ).astype(jnp.bfloat16)
     g = jnp.asarray(1 + 0.1 * rng.randn(d).astype(np.float32))
@@ -1034,13 +1035,14 @@ def test_flashlnq_quad_variant_matches_default():
         ref_q, ref_s = flash_attention_ln_qkv_fused_q8(
             x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
             interpret=True, valid_len=valid_len)
-        got_q, got_s = flash_attention_ln_qkv_fused_q8(
-            x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
-            interpret=True, valid_len=valid_len, quad=True)
-        np.testing.assert_array_equal(np.asarray(ref_q),
-                                      np.asarray(got_q))
-        np.testing.assert_array_equal(np.asarray(ref_s),
-                                      np.asarray(got_s))
+        for kw in ({"quad": True}, {"pairs_per_step": 4}):
+            got_q, got_s = flash_attention_ln_qkv_fused_q8(
+                x, g, b, wq, sw, bias, heads, (d // heads) ** -0.5,
+                interpret=True, valid_len=valid_len, **kw)
+            np.testing.assert_array_equal(np.asarray(ref_q),
+                                          np.asarray(got_q))
+            np.testing.assert_array_equal(np.asarray(ref_s),
+                                          np.asarray(got_s))
 
 
 def test_lowres_head_matches_standard_argmax_head():

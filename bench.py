@@ -159,10 +159,20 @@ def _warm_cache_subprocess(batch: int, cfg_name: str) -> None:
             return
 
 
+# Per-rung wall cap when NO driver budget is armed: a remote compile
+# that HANGS (rather than erroring) must not block the ladder forever
+# — the child's own SIGALRM cannot fire while it is stuck inside a
+# blocking C compile call, so the parent enforces the cap and moves
+# to the next rung. Cold flagship compiles run up to ~10 min; 25 min
+# is comfortably above any healthy rung.
+RUNG_TIMEOUT_S = 1500.0
+
+
 def _ladder_main(passthrough: list[str], budget: float) -> None:
     """Orchestrator: run each ladder rung as a subprocess, streaming
     its stdout through; stop at the first rung that prints a result
     JSON line. Exit 0 iff some rung delivered a number."""
+    import selectors
     import subprocess
 
     deadline = time.monotonic() + budget if budget > 0 else None
@@ -180,15 +190,42 @@ def _ladder_main(passthrough: list[str], budget: float) -> None:
     for rung in LADDER:
         args = [sys.executable, os.path.abspath(__file__),
                 f"--config={rung}", *passthrough]
+        rung_cap = RUNG_TIMEOUT_S
         if deadline is not None:
             left = deadline - time.monotonic()
             if left < 30:
                 break
             args.append(f"--budget={left:.0f}")
+            rung_cap = left + 60  # child bails first in the sane case
         child = subprocess.Popen(args, stdout=subprocess.PIPE,
                                  text=True)
+        rung_deadline = time.monotonic() + rung_cap
         got_json = False
-        for line in child.stdout:
+        hung = False
+        sel = selectors.DefaultSelector()
+        sel.register(child.stdout, selectors.EVENT_READ)
+        while True:
+            if child.poll() is not None:
+                break
+            if time.monotonic() > rung_deadline:
+                hung = True
+                child.send_signal(signal.SIGTERM)
+                try:
+                    child.wait(timeout=30)
+                except subprocess.TimeoutExpired:
+                    child.kill()
+                break
+            if not sel.select(timeout=5):
+                continue
+            line = child.stdout.readline()
+            if not line:
+                break
+            print(line, end="", flush=True)
+            if line.startswith("{"):
+                got_json = True
+        sel.unregister(child.stdout)
+        # drain whatever the (possibly SIGTERM'd) child still wrote
+        for line in (child.stdout.read() or "").splitlines(True):
             print(line, end="", flush=True)
             if line.startswith("{"):
                 got_json = True
@@ -197,7 +234,8 @@ def _ladder_main(passthrough: list[str], budget: float) -> None:
             sys.exit(0)
         if stopping:  # driver asked us to wrap up — no new rungs
             sys.exit(1)
-        print(f"bench: config '{rung}' produced no result (rc={rc}); "
+        why = "hung past the rung cap" if hung else f"rc={rc}"
+        print(f"bench: config '{rung}' produced no result ({why}); "
               "falling back", file=sys.stderr, flush=True)
     sys.exit(1)
 
@@ -346,9 +384,7 @@ def main() -> None:
         # same program structure → throughput unchanged, numerics real)
         if quant == "static_cal":
             variables = calibrate_act_scales(model, variables, x, None)
-            _emit(measure(2))
-        else:
-            _emit(measure(2))
+        _emit(measure(2))
     except Exception:
         if _best_line is not None:
             print(_best_line, flush=True)

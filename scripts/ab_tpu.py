@@ -492,74 +492,6 @@ VARIANTS = {
                           fwd_fn=lambda model, cfg: (
                               lambda v, x, t: model.apply(
                                   v, x, t, return_argmax=True))),
-    # + 'lean' lnq kernel interior: softmax scale folded into the q
-    # dequant scales + pad-key mask as a precomputed bias-row add
-    # (two fewer VPU passes over each (T,T) score matrix)
-    "int8_cf_lean": _mk(lambda: (lambda c: dataclasses.replace(
-                            c, vit=dataclasses.replace(
-                                c.vit, attn_variant="lean")))(
-                            _cfg_int8_mlpcal()),
-                        prep=_prep_int8_mlpcal,
-                        fwd_fn=lambda model, cfg: (
-                            lambda v, x, t: model.apply(
-                                v, x, t, return_argmax=True))),
-    # + stage-separated heads in the lnq kernel (both QK matmuls, both
-    # softmaxes, both PVs — lets the VLIW scheduler overlap head 1's
-    # MXU work with head 0's VPU softmax)
-    "int8_cf_st": _mk(lambda: (lambda c: dataclasses.replace(
-                          c, vit=dataclasses.replace(
-                              c.vit, attn_variant="st")))(
-                          _cfg_int8_mlpcal()),
-                      prep=_prep_int8_mlpcal,
-                      fwd_fn=lambda model, cfg: (
-                          lambda v, x, t: model.apply(
-                              v, x, t, return_argmax=True))),
-    # + lean AND staged
-    "int8_cf_leanst": _mk(lambda: (lambda c: dataclasses.replace(
-                              c, vit=dataclasses.replace(
-                                  c.vit, attn_variant="leanst")))(
-                              _cfg_int8_mlpcal()),
-                          prep=_prep_int8_mlpcal,
-                          fwd_fn=lambda model, cfg: (
-                              lambda v, x, t: model.apply(
-                                  v, x, t, return_argmax=True))),
-    # + lean with exp2 (log2(e) folded into the q-scale fold; the
-    # kernel's exp becomes a bare exp2)
-    "int8_cf_lx2": _mk(lambda: (lambda c: dataclasses.replace(
-                           c, vit=dataclasses.replace(
-                               c.vit, attn_variant="lx2")))(
-                           _cfg_int8_mlpcal()),
-                       prep=_prep_int8_mlpcal,
-                       fwd_fn=lambda model, cfg: (
-                           lambda v, x, t: model.apply(
-                               v, x, t, return_argmax=True))),
-    # + quad: two head-pairs per flashlnq grid step (half the grid
-    # steps; identical arithmetic in identical order)
-    "int8_cf_quad": _mk(lambda: (lambda c: dataclasses.replace(
-                            c, vit=dataclasses.replace(
-                                c.vit, attn_variant="quad")))(
-                            _cfg_int8_mlpcal()),
-                        prep=_prep_int8_mlpcal,
-                        fwd_fn=lambda model, cfg: (
-                            lambda v, x, t: model.apply(
-                                v, x, t, return_argmax=True))),
-    # + octo / mono: 4 pairs / ALL pairs per grid step
-    "int8_cf_octo": _mk(lambda: (lambda c: dataclasses.replace(
-                            c, vit=dataclasses.replace(
-                                c.vit, attn_variant="octo")))(
-                            _cfg_int8_mlpcal()),
-                        prep=_prep_int8_mlpcal,
-                        fwd_fn=lambda model, cfg: (
-                            lambda v, x, t: model.apply(
-                                v, x, t, return_argmax=True))),
-    "int8_cf_mono": _mk(lambda: (lambda c: dataclasses.replace(
-                            c, vit=dataclasses.replace(
-                                c.vit, attn_variant="mono")))(
-                            _cfg_int8_mlpcal()),
-                        prep=_prep_int8_mlpcal,
-                        fwd_fn=lambda model, cfg: (
-                            lambda v, x, t: model.apply(
-                                v, x, t, return_argmax=True))),
     # + int8 QK inside the lnq kernel (per-row requantized q/k)
     "int8_cf_i8qk": _mk(lambda: (lambda c: dataclasses.replace(
                             c, vit=dataclasses.replace(
@@ -610,6 +542,38 @@ VARIANTS = {
     "pallas_head": _mk(_cfg_base, fwd_fn=_fwd_pallas_head),
     "pallas_full": _mk(_cfg_base, fwd_fn=_fwd_pallas_full),
 }
+
+
+def _mk_attnvar(variant):
+    """int8_cf_mlpcal with one flashlnq interior/grid variant swapped
+    in (the catalogued tie/loss table lives in CLAUDE.md round 3-5)."""
+    return _mk(lambda: (lambda c: dataclasses.replace(
+                   c, vit=dataclasses.replace(
+                       c.vit, attn_variant=variant)))(
+                   _cfg_int8_mlpcal()),
+               prep=_prep_int8_mlpcal,
+               fwd_fn=lambda model, cfg: (
+                   lambda v, x, t: model.apply(
+                       v, x, t, return_argmax=True)))
+
+
+# Flashlnq interior/grid variants on top of the mlp_act_cal config.
+# NOTE: since fast_serving adopted attn_variant='quad' (round 5),
+# int8_cf_mlpcal IS the quad grid — 'int8_cf_pair' pins the pre-r5
+# pair-per-step grid so the adopted quad win stays re-measurable.
+VARIANTS.update({
+    f"int8_cf_{name}": _mk_attnvar(variant)
+    for name, variant in (
+        ("pair", "v1"),      # pair-per-step grid (pre-r5 default)
+        ("lean", "lean"),    # scale fold + mask-bias row (tie)
+        ("st", "st"),        # stage-separated heads (loss)
+        ("leanst", "leanst"),
+        ("lx2", "lx2"),      # lean + exp2 (tie)
+        ("quad", "quad"),    # == int8_cf_mlpcal since adoption
+        ("octo", "octo"),    # 4 pairs/step (tie vs quad)
+        ("mono", "mono"),    # all pairs in one step (loss)
+    )
+})
 
 
 def main() -> None:

@@ -164,8 +164,10 @@ def _warm_cache_subprocess(batch: int, cfg_name: str) -> None:
 # — the child's own SIGALRM cannot fire while it is stuck inside a
 # blocking C compile call, so the parent enforces the cap and moves
 # to the next rung. Cold flagship compiles run up to ~10 min; 25 min
-# is comfortably above any healthy rung.
-RUNG_TIMEOUT_S = 1500.0
+# is comfortably above any healthy rung. Env override exists for
+# watchdog testing only (pair with LSEG_BENCH_FAULT_MODE=hang).
+RUNG_TIMEOUT_S = float(os.environ.get("LSEG_BENCH_RUNG_TIMEOUT_S",
+                                      "1500"))
 
 
 def _ladder_main(passthrough: list[str], budget: float) -> None:
@@ -291,13 +293,23 @@ def main() -> None:
         # call time, so rebinding the module attr breaks exactly that
         # path). E.g. LSEG_BENCH_FAULT=flash_attention_ln_qkv_fused_q8
         # python bench.py -> the ladder must still print a JSON line.
+        # LSEG_BENCH_FAULT_MODE=hang simulates a compile that HANGS
+        # instead of erroring (sleep forever inside the kernel call) —
+        # exercises the orchestrator's per-rung watchdog/kill path;
+        # pair with LSEG_BENCH_RUNG_TIMEOUT_S to keep the test short.
         import lseg_tpu.ops.pallas_attention as _pa
         import lseg_tpu.ops.pallas_correlation as _pc
         import lseg_tpu.ops.pallas_ln as _pln
         import lseg_tpu.ops.pallas_patch as _pp
 
-        def _boom(*a, **k):
-            raise RuntimeError(f"LSEG_BENCH_FAULT: {fault} disabled")
+        if os.environ.get("LSEG_BENCH_FAULT_MODE") == "hang":
+            def _boom(*a, **k):
+                while True:  # a stuck remote compile never returns
+                    time.sleep(3600)
+        else:
+            def _boom(*a, **k):
+                raise RuntimeError(
+                    f"LSEG_BENCH_FAULT: {fault} disabled")
 
         hit = False
         for m in (_pa, _pc, _pln, _pp):

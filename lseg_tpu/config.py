@@ -211,6 +211,11 @@ class LSegConfig:
     # disappears. Serving knob; the parity path keeps the reference
     # op order (lseg_blocks.py:341-357).
     decoder_conv_first: bool = False
+    # run the refinenet x2 interp matmuls over merged-dim rank-3 views
+    # (ops/resize.py collapse=True): identical contraction, but the rhs
+    # arrives contraction-major/free-minor so XLA can skip the rank-4
+    # form's operand relayout copies (HLO census round 5). Serving knob.
+    decoder_resize_collapse: bool = False
     vit: Optional[ViTConfig] = None
     resnet: Optional[ResNetConfig] = None
     text: CLIPTextConfig = CLIP_TEXT_VITB32

@@ -309,6 +309,10 @@ class FeatureFusionBlock(nn.Module):
     # head pushes the upsample past the correlation matmul (linear
     # commute; models/lseg.py head_fused='lowres').
     skip_out_upsample: bool = False
+    # Run the x2 interp matmuls over merged-dim rank-3 views (see
+    # ops/resize.py collapse) — same arithmetic, targets the operand
+    # relayout copies XLA inserts for the rank-4 einsum form.
+    resize_collapse: bool = False
 
     @nn.compact
     def __call__(
@@ -336,7 +340,8 @@ class FeatureFusionBlock(nn.Module):
                               compute_dtype=(self.dtype
                                              if self.quant in
                                              ("static", "static_cal")
-                                             else jnp.float32))
+                                             else jnp.float32),
+                              collapse=self.resize_collapse)
 
         if (self.tail_fused and self.quant == "static_cal"
                 and not self.is_mutable_collection("quant_cal")):
@@ -364,7 +369,8 @@ class FeatureFusionBlock(nn.Module):
                        compute_dtype=(self.dtype
                                       if self.quant in ("static",
                                                         "static_cal")
-                                      else jnp.float32))
+                                      else jnp.float32),
+                       collapse=self.resize_collapse)
         return _conv(
             self.features, (1, 1), self.quant, self.dtype, "out_conv"
         )(x)

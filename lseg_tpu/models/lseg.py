@@ -138,17 +138,18 @@ class LSegNet(nn.Module):
         q = cfg.decoder_quant
         tails = cfg.decoder_fused_tail
         frcu = cfg.decoder_fused_rcu
+        rcol = cfg.decoder_resize_collapse
         path4 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
-            name="refinenet4"
+            resize_collapse=rcol, name="refinenet4"
         )(rn[3], None, train)
         path3 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
-            name="refinenet3"
+            resize_collapse=rcol, name="refinenet3"
         )(path4, rn[2], train)
         path2 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
-            name="refinenet2"
+            resize_collapse=rcol, name="refinenet2"
         )(path3, rn[1], train)
 
         use_head_fused = (
@@ -193,7 +194,8 @@ class LSegNet(nn.Module):
         path1 = FeatureFusionBlock(
             cfg.features, cfg.use_bn, self.dtype, q, tails, frcu,
             conv_first=cfg.decoder_conv_first,
-            skip_out_upsample=use_lowres_head, name="refinenet1"
+            skip_out_upsample=use_lowres_head,
+            resize_collapse=rcol, name="refinenet1"
         )(path2, rn[0], train, out_int8_scale=head_sc)
 
         if use_head_fused:

@@ -60,6 +60,7 @@ def resize_bilinear(
     align_corners: bool = True,
     compute_dtype=jnp.float32,
     order: str = "hw",
+    collapse: bool = False,
 ) -> jnp.ndarray:
     """Bilinearly resize an NHWC (or HWC) tensor to (out_h, out_w).
 
@@ -70,7 +71,16 @@ def resize_bilinear(
     W-interp matmul first — the separable interp is exact under either
     order up to fp summation rounding; XLA picks different layouts for
     the two orders, which matters next to layout-constrained custom
-    calls (the fused serving head)."""
+    calls (the fused serving head).
+
+    `collapse=True` runs each interp matmul over a rank-3 merged-dim
+    view of x instead of the rank-4 einsum: H-interp contracts h on
+    (n, h, w*c) and W-interp contracts w on (n*h, w, c). Both reshapes
+    merge adjacent NHWC dims (free bitcasts) and the contraction is the
+    identical dot over the identical elements — same arithmetic, but
+    the rhs arrives in the MXU-native contraction-major/free-minor form,
+    which can remove the operand relayout copies XLA inserts for the
+    rank-4 form (seen at the refinenet upsamples in the serving HLO)."""
     squeeze = False
     if x.ndim == 3:
         x = x[None]
@@ -84,12 +94,22 @@ def resize_bilinear(
             Ah = jnp.asarray(
                 _interp_matrix(h, out_h, align_corners)
             ).astype(compute_dtype)
+            if collapse:
+                n_, h_, w_, c_ = xf.shape
+                out = jnp.einsum("oh,nhx->nox", Ah,
+                                 xf.reshape(n_, h_, w_ * c_))
+                return out.reshape(n_, out_h, w_, c_)
             return jnp.einsum("oh,nhwc->nowc", Ah, xf)
 
         def w_interp(xf):
             Aw = jnp.asarray(
                 _interp_matrix(w, out_w, align_corners)
             ).astype(compute_dtype)
+            if collapse:
+                n_, h_, w_, c_ = xf.shape
+                out = jnp.einsum("ow,bwc->boc", Aw,
+                                 xf.reshape(n_ * h_, w_, c_))
+                return out.reshape(n_, h_, out_w, c_)
             return jnp.einsum("ow,nhwc->nhoc", Aw, xf)
 
         assert order in ("hw", "wh"), order
@@ -105,9 +125,11 @@ def resize_bilinear(
 
 
 def upsample2x(x: jnp.ndarray, align_corners: bool = True,
-               compute_dtype=jnp.float32, order: str = "hw") -> jnp.ndarray:
+               compute_dtype=jnp.float32, order: str = "hw",
+               collapse: bool = False) -> jnp.ndarray:
     """×2 bilinear upsample of an NHWC tensor (the fusion-block / output-head
     path, reference: lseg_blocks.py:352-354, lseg_net.py:219-221)."""
     n, h, w, c = x.shape
     return resize_bilinear(x, 2 * h, 2 * w, align_corners=align_corners,
-                           compute_dtype=compute_dtype, order=order)
+                           compute_dtype=compute_dtype, order=order,
+                           collapse=collapse)

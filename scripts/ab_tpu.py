@@ -575,6 +575,16 @@ VARIANTS.update({
     )
 })
 
+# + merged-dim rank-3 interp matmuls in the refinenet upsamples
+# (decoder_resize_collapse; targets the ~0.4 ms of operand relayout
+# copies the round-5 HLO census found at the rank-4 einsum form)
+VARIANTS["int8_cf_rcol"] = _mk(
+    lambda: dataclasses.replace(_cfg_int8_mlpcal(),
+                                decoder_resize_collapse=True),
+    prep=_prep_int8_mlpcal,
+    fwd_fn=lambda model, cfg: (
+        lambda v, x, t: model.apply(v, x, t, return_argmax=True)))
+
 
 def main() -> None:
     batch, iters, reps = 8, 12, 3

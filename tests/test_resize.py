@@ -76,3 +76,23 @@ def test_resize_order_wh_matches_hw():
     b = np.asarray(resize_bilinear(x, 14, 18, align_corners=False,
                                    order="wh"))
     np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_resize_collapse_matches_rank4():
+    """collapse=True contracts the same interp dots over merged-dim
+    rank-3 views — the arithmetic is identical to the rank-4 einsum
+    form (same contraction over the same elements), so results must
+    match to the bit on CPU."""
+    rng = np.random.RandomState(1)
+    x = jnp.asarray(rng.randn(2, 7, 9, 5).astype(np.float32))
+    for ac, (oh, ow) in [(True, (14, 18)), (False, (13, 4)),
+                         (True, (7, 9))]:  # incl. identity
+        a = np.asarray(resize_bilinear(x, oh, ow, align_corners=ac))
+        b = np.asarray(resize_bilinear(x, oh, ow, align_corners=ac,
+                                       collapse=True))
+        np.testing.assert_array_equal(a, b)
+    # upsample2x passthrough + bf16 compute dtype (the serving form)
+    a = np.asarray(upsample2x(x, compute_dtype=jnp.bfloat16))
+    b = np.asarray(upsample2x(x, compute_dtype=jnp.bfloat16,
+                              collapse=True))
+    np.testing.assert_allclose(a, b, rtol=2e-2, atol=2e-2)

@@ -79,8 +79,11 @@ def resize_bilinear(
     merge adjacent NHWC dims (free bitcasts) and the contraction is the
     identical dot over the identical elements — same arithmetic, but
     the rhs arrives in the MXU-native contraction-major/free-minor form,
-    which can remove the operand relayout copies XLA inserts for the
-    rank-4 form (seen at the refinenet upsamples in the serving HLO)."""
+    targeting the operand relayout copies XLA inserts for the rank-4
+    form (seen at the refinenet upsamples in the serving HLO). MEASURED
+    END-TO-END LOSS (~0.5%, 3 interleaved reps, round 5) — XLA's rank-4
+    relayout is cheaper than the rank-3 dot's layout choices; kept as
+    tested infrastructure, default off (docs/PERFORMANCE.md)."""
     squeeze = False
     if x.ndim == 3:
         x = x[None]
